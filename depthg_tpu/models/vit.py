@@ -1,0 +1,175 @@
+"""DINO Vision Transformer backbone, functional JAX implementation.
+
+Re-implements the math of the reference's vendored DINO ViT
+(``src/dino/vision_transformer.py``) TPU-first:
+
+* patch embedding is expressed as patch-extract + one big matmul (stride ==
+  kernel, so the conv is exactly a reshape + GEMM on the MXU),
+* blocks are plain pure functions over a param pytree; the backbone is frozen
+  in this framework, so the whole stack runs under ``stop_gradient`` in bf16
+  or f32 as configured,
+* ``interpolate_pos_encoding`` reproduces the reference's bicubic
+  scale-factor quirk (``vision_transformer.py:179-199``: scale =
+  (w//ps + 0.1)/sqrt(N), H axis scaled by the *width* factor).
+
+``vit_apply(..., n=k)`` mirrors ``get_intermediate_feat``
+(``vision_transformer.py:228-240``): post-norm tokens, attention maps and the
+raw qkv tensors of the last ``n`` blocks.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def matmul_precision(precision: str | None):
+    """Context scoping all dots/einsums: None = backend default (bf16 on TPU MXU),
+    or an explicit mode like "float32" for parity-critical paths."""
+    if precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(precision)
+
+from depthg_tpu.models.layers import layer_norm, layer_norm_init, linear, trunc_normal_init, vit_linear_init
+from depthg_tpu.ops.resize import resize_bicubic
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 8
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+    img_size: int = 224  # only fixes the *size of the learned pos_embed table*
+
+
+VIT_PRESETS = {
+    "vit_tiny": dict(embed_dim=192, depth=12, num_heads=3),
+    "vit_small": dict(embed_dim=384, depth=12, num_heads=6),
+    "vit_base": dict(embed_dim=768, depth=12, num_heads=12),
+}
+
+
+def make_config(arch: str, patch_size: int) -> ViTConfig:
+    return ViTConfig(patch_size=patch_size, **VIT_PRESETS[arch])
+
+
+def vit_init(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> dict:
+    n_side = cfg.img_size // cfg.patch_size
+    n_tok = n_side * n_side + 1
+    d = cfg.embed_dim
+    hidden = int(d * cfg.mlp_ratio)
+    keys = iter(jax.random.split(key, 4 + 4 * cfg.depth))
+
+    params = {
+        "patch_embed": {
+            # [3*ps*ps, D] in (c, kh, kw) flatten order, matching torch conv weight layout
+            "w": trunc_normal_init(next(keys), (3 * cfg.patch_size**2, d), dtype=dtype),
+            "b": jnp.zeros((d,), dtype),
+        },
+        "cls_token": trunc_normal_init(next(keys), (1, 1, d), dtype=dtype),
+        "pos_embed": trunc_normal_init(next(keys), (1, n_tok, d), dtype=dtype),
+        "norm": layer_norm_init(d, dtype),
+        "blocks": [],
+    }
+    for _ in range(cfg.depth):
+        params["blocks"].append({
+            "norm1": layer_norm_init(d, dtype),
+            "qkv": vit_linear_init(next(keys), d, 3 * d, dtype),
+            "proj": vit_linear_init(next(keys), d, d, dtype),
+            "norm2": layer_norm_init(d, dtype),
+            "fc1": vit_linear_init(next(keys), d, hidden, dtype),
+            "fc2": vit_linear_init(next(keys), hidden, d, dtype),
+        })
+    return params
+
+
+def _patchify(x: jnp.ndarray, ps: int) -> jnp.ndarray:
+    """[B, 3, H, W] -> [B, Hp*Wp, 3*ps*ps] tokens, row-major, (c, kh, kw) order."""
+    b, c, h, w = x.shape
+    hp, wp = h // ps, w // ps
+    x = x.reshape(b, c, hp, ps, wp, ps)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5))
+    return x.reshape(b, hp * wp, c * ps * ps)
+
+
+def interpolate_pos_encoding(pos_embed: jnp.ndarray, npatch: int, w: int, h: int, ps: int) -> jnp.ndarray:
+    n = pos_embed.shape[1] - 1
+    if npatch == n and w == h:
+        return pos_embed
+    dim = pos_embed.shape[-1]
+    side = int(math.sqrt(n))
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:].reshape(1, side, side, dim).transpose(0, 3, 1, 2)
+    # reference quirk: +0.1 fudge, and the H axis uses the *width* scale factor
+    w0 = w // ps + 0.1
+    h0 = h // ps + 0.1
+    sf = (w0 / side, h0 / side)
+    out_hw = (int(side * sf[0]), int(side * sf[1]))
+    patch_pos = resize_bicubic(patch_pos, out_hw, scale=sf)
+    patch_pos = patch_pos.transpose(0, 2, 3, 1).reshape(1, -1, dim)
+    return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+
+def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig):
+    b, n, d = x.shape
+    hd = d // cfg.num_heads
+    qkv = linear(p["qkv"], x)  # [B, N, 3D]
+    qkv = qkv.reshape(b, n, 3, cfg.num_heads, hd)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, h, N, hd]
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    scale = hd ** -0.5
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, d)
+    return linear(p["proj"], out), attn, qkv
+
+
+def _block(p: dict, x: jnp.ndarray, cfg: ViTConfig):
+    y, attn, qkv = _attention(p, layer_norm(p["norm1"], x, cfg.ln_eps), cfg)
+    x = x + y
+    h = layer_norm(p["norm2"], x, cfg.ln_eps)
+    h = linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], h), approximate=False))
+    return x + h, attn, qkv
+
+
+def prepare_tokens(params: dict, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    b, _, h, w = x.shape
+    tok = _patchify(x, cfg.patch_size) @ params["patch_embed"]["w"] + params["patch_embed"]["b"]
+    cls = jnp.broadcast_to(params["cls_token"].astype(tok.dtype), (b, 1, tok.shape[-1]))
+    tok = jnp.concatenate([cls, tok], axis=1)
+    pos = interpolate_pos_encoding(params["pos_embed"], tok.shape[1] - 1, w, h, cfg.patch_size)
+    return tok + pos.astype(tok.dtype)
+
+
+def vit_apply(params: dict, x: jnp.ndarray, cfg: ViTConfig, n: int = 1,
+              precision: str | None = None):
+    """Forward through all blocks; collect (normed tokens, attn, qkv) of last n blocks.
+
+    Returns (feats, attns, qkvs) — lists of length n, mirroring the reference's
+    ``get_intermediate_feat``. The backbone is frozen: wrap the call site in
+    ``jax.lax.stop_gradient`` (the featurizer does this).
+
+    ``precision``: None = MXU default (bf16 inputs, f32 accumulate) for speed;
+    "float32" for bit-parity with the torch reference.
+    """
+    with matmul_precision(precision):
+        x = prepare_tokens(params, x, cfg)
+        feats, attns, qkvs = [], [], []
+        depth = len(params["blocks"])
+        for i, blk in enumerate(params["blocks"]):
+            x, attn, qkv = _block(blk, x, cfg)
+            if depth - i <= n:
+                feats.append(layer_norm(params["norm"], x, cfg.ln_eps))
+                attns.append(attn)
+                qkvs.append(qkv)
+        return feats, attns, qkvs
