@@ -35,9 +35,12 @@ class FeaturizerConfig:
     dim: int = 70                    # projection output dim
     dropout: bool = True             # cfg.dropout: Dropout2d(.1) on returned feats
     drop_rate: float = 0.1
+    vit_config: "vit_lib.ViTConfig | None" = None  # override (tests / custom backbones)
 
     @property
     def vit(self) -> vit_lib.ViTConfig:
+        if self.vit_config is not None:
+            return self.vit_config
         return vit_lib.make_config(self.arch, self.patch_size)
 
     @property

@@ -1,0 +1,289 @@
+"""The DepthG training step: one jitted, mesh-shardable pure function.
+
+Reproduces the math of the reference ``training_step``
+(``src/train_segmentation.py:169-462``) with a TPU-native structure:
+
+* the frozen ViT params live in a separate ``frozen`` branch of the state so
+  no gradient or optimizer state is ever materialized for them;
+* three optax Adam optimizers (net head / linear probe / cluster probe),
+  mirroring ``configure_optimizers`` (``src/train_segmentation.py:537-547``);
+  probe losses consume ``stop_gradient(code)`` so a single ``jax.grad`` over
+  the trainable groups reproduces the manual three-optimizer isolation;
+* decayed scalars (depth weight/shift) enter as jit scalars; shape-affecting
+  schedule values (feature_samples, sampling mode) select a jit bucket
+  (see ``train.decay``);
+* batch-sharded across a ``Mesh`` by annotating the batch axis — XLA inserts
+  the psum for gradient reduction (the DP replacement for Lightning's
+  single-GPU loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from depthg_tpu.models import featurizer as featurizer_lib
+from depthg_tpu.models import probes
+from depthg_tpu.ops.correlation import norm
+from depthg_tpu.ops.resize import resize_bilinear
+from depthg_tpu.ops.sampling import sample
+from depthg_tpu.train import losses as loss_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHParams:
+    """Static hyperparameters of the training objective."""
+    n_classes: int
+    pos_inter_weight: float = 0.25
+    pos_intra_weight: float = 0.67
+    neg_inter_weight: float = 0.63
+    correspondence_weight: float = 1.0
+    rec_weight: float = 0.0
+    aug_alignment_weight: float = 0.0
+    crf_weight: float = 0.0
+    lr: float = 5e-4
+    probe_lr: float = 5e-3
+    use_depth: bool = True
+    use_true_labels: bool = False
+    extra_clusters: int = 0
+    # ContrastiveCRFLoss constants (crf_weight>0 path)
+    crf_samples: int = 1000
+    alpha: float = 0.5
+    beta: float = 0.15
+    gamma: float = 0.05
+    w1: float = 10.0
+    w2: float = 3.0
+    shift: float = 0.0
+
+
+def hparams_from_cfg(cfg, n_classes: int) -> TrainHParams:
+    return TrainHParams(
+        n_classes=n_classes,
+        pos_inter_weight=float(cfg.pos_inter_weight),
+        pos_intra_weight=float(cfg.pos_intra_weight),
+        neg_inter_weight=float(cfg.neg_inter_weight),
+        correspondence_weight=float(cfg.correspondence_weight),
+        rec_weight=float(cfg.rec_weight),
+        aug_alignment_weight=float(cfg.aug_alignment_weight),
+        crf_weight=float(cfg.crf_weight),
+        lr=float(cfg.lr),
+        use_depth=bool(cfg.use_depth),
+        use_true_labels=bool(cfg.use_true_labels),
+        extra_clusters=int(cfg.extra_clusters),
+        crf_samples=int(cfg.crf_samples),
+        alpha=float(cfg.alpha), beta=float(cfg.beta), gamma=float(cfg.gamma),
+        w1=float(cfg.w1), w2=float(cfg.w2), shift=float(cfg.shift),
+    )
+
+
+def make_optimizers(hp: TrainHParams):
+    return {
+        "net": optax.adam(hp.lr),
+        "linear": optax.adam(hp.probe_lr),
+        "cluster": optax.adam(hp.probe_lr),
+    }
+
+
+def init_state(key: jax.Array, fcfg: featurizer_lib.FeaturizerConfig,
+               hp: TrainHParams) -> dict:
+    """Build the full train state pytree."""
+    kf, kl, kc, kd, kt = jax.random.split(key, 5)
+    net = featurizer_lib.featurizer_init(kf, fcfg)
+    frozen = {"vit": net.pop("vit")}
+    params = {
+        "net": net,  # cluster1 [+ cluster2] projection head
+        "linear_probe": probes.linear_probe_init(kl, fcfg.dim, hp.n_classes),
+        "cluster_probe": probes.cluster_lookup_init(kc, fcfg.dim,
+                                                    hp.n_classes + hp.extra_clusters),
+        "decoder": probes.decoder_init(kd, fcfg.dim, fcfg.n_feats),
+    }
+    # train_cluster_probe exists in the reference but is never optimized; we
+    # keep a slot for checkpoint-format compatibility only.
+    opts = make_optimizers(hp)
+    opt_state = {
+        "net": opts["net"].init(_net_group(params, hp)),
+        "linear": opts["linear"].init(params["linear_probe"]),
+        "cluster": opts["cluster"].init(params["cluster_probe"]),
+    }
+    return {"params": params, "frozen": frozen, "opt": opt_state,
+            "step": jnp.zeros((), jnp.int32)}
+
+
+def _net_group(params: dict, hp: TrainHParams) -> dict:
+    g = {"net": params["net"]}
+    if hp.rec_weight > 0:
+        g["decoder"] = params["decoder"]
+    return g
+
+
+def cross_entropy_masked(logits: jnp.ndarray, labels: jnp.ndarray, n_classes: int):
+    """torch CrossEntropyLoss over pixels with labels in [0, n_classes)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    flat_labels = labels.reshape(-1)
+    mask = (flat_labels >= 0) & (flat_labels < n_classes)
+    safe = jnp.clip(flat_labels, 0, n_classes - 1)
+    nll = -jnp.take_along_axis(logp.reshape(-1, n_classes), safe[:, None], axis=1)[:, 0]
+    nll = jnp.where(mask, nll, 0.0)
+    count = jnp.maximum(mask.sum(), 1)
+    return nll.sum() / count
+
+
+def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
+            fcfg: featurizer_lib.FeaturizerConfig, hp: TrainHParams,
+            lcfg: loss_lib.CorrLossConfig, depth_feat_weight: float,
+            depth_feat_shift: float):
+    """Total loss + metrics; differentiable w.r.t. ``trainable`` only."""
+    params = {"net": dict(trainable["net"], **frozen), **{k: v for k, v in trainable.items() if k != "net"}}
+    net_params = params["net"]
+
+    img = batch["img"]
+    label = batch["label"]
+    depth = batch.get("depth")
+    depth_pos = batch.get("depth_pos")
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    out = featurizer_lib.featurizer_apply(net_params, img, fcfg, key=k1, train=True)
+    feats, code = out["feats"], out["code"]
+
+    logs: dict[str, Any] = {}
+    loss = 0.0
+
+    if hp.correspondence_weight > 0:
+        out_pos = featurizer_lib.featurizer_apply(net_params, batch["img_pos"], fcfg,
+                                                  key=k2, train=True)
+        feats_pos, code_pos = out_pos["feats"], out_pos["code"]
+
+        if hp.use_true_labels:
+            signal = jax.nn.one_hot(label + 1, hp.n_classes + 1, axis=1, dtype=jnp.float32)
+            signal_pos = jax.nn.one_hot(batch["label_pos"] + 1, hp.n_classes + 1,
+                                        axis=1, dtype=jnp.float32)
+        else:
+            signal, signal_pos = feats, feats_pos
+
+        corr = loss_lib.contrastive_correlation_loss(
+            k3, lcfg, signal, signal_pos, code, code_pos,
+            depth=depth, depth_pos=depth_pos,
+            salience=batch.get("mask"), salience_pos=batch.get("mask_pos"),
+            depth_feat_shift=depth_feat_shift)
+
+        pos_intra = corr["pos_intra_loss"]
+        pos_inter = corr["pos_inter_loss"]
+        neg_inter = corr["neg_inter_loss"].mean()
+        logs.update({
+            "loss/pos_intra": pos_intra, "loss/pos_inter": pos_inter,
+            "loss/neg_inter": neg_inter,
+            "cd/pos_intra": corr["pos_intra_cd"].mean(),
+            "cd/pos_inter": corr["pos_inter_cd"].mean(),
+            "cd/neg_inter": corr["neg_inter_cd"].mean(),
+        })
+        corr_total = (hp.pos_inter_weight * pos_inter
+                      + hp.pos_intra_weight * pos_intra
+                      + hp.neg_inter_weight * neg_inter)
+        if lcfg.depth_feat_correlation_loss:
+            df = corr["depth_feat_loss"]
+            logs["loss/depth_feat"] = df
+            logs["cd/depth_feat"] = corr["depth_feat_cd"].mean()
+            corr_total = corr_total + depth_feat_weight * df
+        loss = loss + corr_total * hp.correspondence_weight
+
+    if hp.rec_weight > 0:
+        rec_feats = probes.decoder_apply(params["decoder"], code)
+        rec_loss = -jnp.mean(jnp.sum(norm(rec_feats) * norm(feats), axis=1))
+        logs["loss/rec"] = rec_loss
+        loss = loss + hp.rec_weight * rec_loss
+
+    if hp.aug_alignment_weight > 0:
+        out_aug = featurizer_lib.featurizer_apply(net_params, batch["img_aug"], fcfg,
+                                                  key=k4, train=True)
+        code_aug = out_aug["code"]
+        coord_aug = jnp.transpose(batch["coord_aug"], (0, 3, 1, 2))
+        down = resize_bilinear(coord_aug, code_aug.shape[2])
+        down = jnp.transpose(down, (0, 2, 3, 1))
+        aug_alignment = -jnp.mean(jnp.einsum(
+            "bkhw,bkhw->bhw", norm(sample(code, down)), norm(code_aug)))
+        logs["loss/aug_alignment"] = aug_alignment
+        loss = loss + hp.aug_alignment_weight * aug_alignment
+
+    if hp.crf_weight > 0:
+        crf = loss_lib.contrastive_crf_loss(
+            k5, resize_bilinear(img, 56), norm(resize_bilinear(code, 56)),
+            hp.crf_samples, hp.alpha, hp.beta, hp.gamma, hp.w1, hp.w2, hp.shift).mean()
+        logs["loss/crf"] = crf
+        loss = loss + hp.crf_weight * crf
+
+    detached_code = jax.lax.stop_gradient(code)
+
+    linear_logits = probes.linear_probe_apply(params["linear_probe"], detached_code)
+    linear_logits = resize_bilinear(linear_logits, label.shape[-2:])
+    linear_logits = jnp.transpose(linear_logits, (0, 2, 3, 1))
+    linear_loss = cross_entropy_masked(linear_logits, label, hp.n_classes)
+    logs["loss/linear"] = linear_loss
+    loss = loss + linear_loss
+
+    cluster_loss, _ = probes.cluster_lookup_apply(params["cluster_probe"],
+                                                  detached_code, None)
+    logs["loss/cluster"] = cluster_loss
+    loss = loss + cluster_loss
+    logs["loss/total"] = loss
+    return loss, logs
+
+
+def train_step(state: dict, batch: dict, key: jax.Array,
+               fcfg: featurizer_lib.FeaturizerConfig, hp: TrainHParams,
+               lcfg: loss_lib.CorrLossConfig,
+               depth_feat_weight, depth_feat_shift):
+    """One optimization step. Static args: fcfg/hp/lcfg. Jit-wrapped by caller."""
+    params = state["params"]
+    trainable = {
+        "net": params["net"],
+        "linear_probe": params["linear_probe"],
+        "cluster_probe": params["cluster_probe"],
+        "decoder": params["decoder"],
+    }
+    (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        trainable, state["frozen"], batch, key, fcfg, hp, lcfg,
+        depth_feat_weight, depth_feat_shift)
+
+    opts = make_optimizers(hp)
+    net_grads = _net_group(grads, hp)
+    net_updates, net_opt = opts["net"].update(
+        net_grads, state["opt"]["net"], _net_group(params, hp))
+    lin_updates, lin_opt = opts["linear"].update(
+        grads["linear_probe"], state["opt"]["linear"], params["linear_probe"])
+    clu_updates, clu_opt = opts["cluster"].update(
+        grads["cluster_probe"], state["opt"]["cluster"], params["cluster_probe"])
+
+    new_net_group = optax.apply_updates(_net_group(params, hp), net_updates)
+    new_params = dict(params)
+    new_params["net"] = new_net_group["net"]
+    if hp.rec_weight > 0:
+        new_params["decoder"] = new_net_group["decoder"]
+    new_params["linear_probe"] = optax.apply_updates(params["linear_probe"], lin_updates)
+    new_params["cluster_probe"] = optax.apply_updates(params["cluster_probe"], clu_updates)
+
+    new_state = {
+        "params": new_params,
+        "frozen": state["frozen"],
+        "opt": {"net": net_opt, "linear": lin_opt, "cluster": clu_opt},
+        "step": state["step"] + 1,
+    }
+    return new_state, logs
+
+
+def reset_probes(state: dict, key: jax.Array, fcfg, hp: TrainHParams) -> dict:
+    """Reference ``reset_probe_steps`` behavior (``src/train_segmentation.py:451-455``):
+    re-init both probes and their optimizer states."""
+    kl, kc = jax.random.split(key)
+    params = dict(state["params"])
+    params["linear_probe"] = probes.linear_probe_init(kl, fcfg.dim, hp.n_classes)
+    params["cluster_probe"] = probes.cluster_lookup_init(
+        kc, fcfg.dim, hp.n_classes + hp.extra_clusters)
+    opts = make_optimizers(hp)
+    opt = dict(state["opt"])
+    opt["linear"] = opts["linear"].init(params["linear_probe"])
+    opt["cluster"] = opts["cluster"].init(params["cluster_probe"])
+    return {**state, "params": params, "opt": opt}
