@@ -1,0 +1,119 @@
+"""Fused eval/demo inference pipeline.
+
+The reference eval path (``src/eval_segmentation.py:143-187``) runs: flip-TTA
+code averaging -> bilinear upsample -> linear log-softmax + cluster log-probs
+(alpha=2) -> per-image CPU dense CRF -> metrics, with three host round-trips
+per batch. Here the *entire* pipeline — backbone, TTA, probes, mean-field CRF
+and the confusion-matrix reduction — is one jitted program per batch; only the
+[K, C] confusion blocks (a few kB) ever leave the device, which matters
+doubly on this setup (slow device->host link).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from depthg_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+from depthg_tpu.models import featurizer as featurizer_lib
+from depthg_tpu.models import probes
+from depthg_tpu.ops.crf import CRFConfig, dense_crf_batch
+from depthg_tpu.ops.resize import resize_bilinear
+from depthg_tpu.utils.metrics import confusion_update
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    n_classes: int
+    extra_clusters: int = 0
+    run_crf: bool = True
+    label_res: int = 320
+    cluster_alpha: float = 2.0
+    crf: CRFConfig = CRFConfig()
+    precision: str | None = None  # backbone matmul precision (None = MXU default)
+
+
+def unnormalize_255(img: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet-normalized [B,3,H,W] -> raw 0..255 floats for CRF guidance."""
+    mean = jnp.asarray(IMAGENET_MEAN)[None, :, None, None]
+    std = jnp.asarray(IMAGENET_STD)[None, :, None, None]
+    return jnp.clip(img * std + mean, 0.0, 1.0) * 255.0
+
+
+def tta_code(params: dict, img: jnp.ndarray, fcfg, precision=None) -> jnp.ndarray:
+    """Flip-TTA averaged projection code (reference ``eval_segmentation.py:150-152``)."""
+    code1 = featurizer_lib.featurizer_apply(params, img, fcfg, precision=precision)["code"]
+    code2 = featurizer_lib.featurizer_apply(params, img[..., ::-1], fcfg,
+                                            precision=precision)["code"]
+    return (code1 + code2[..., ::-1]) / 2
+
+
+def eval_logits(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
+    """Upsampled probe logits: (linear log-softmax, cluster log-probs)."""
+    code = tta_code(params["net"], img, fcfg, ecfg.precision)
+    code = resize_bilinear(code, (ecfg.label_res, ecfg.label_res))
+    linear_log = jax.nn.log_softmax(
+        probes.linear_probe_apply(params["linear_probe"], code), axis=1)
+    cluster_log = probes.cluster_lookup_apply(
+        params["cluster_probe"], code, alpha=ecfg.cluster_alpha, log_probs=True)
+    return linear_log, cluster_log
+
+
+def predictions(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
+    """(linear_preds, cluster_preds) [B, R, R] int32, with optional CRF."""
+    linear_log, cluster_log = eval_logits(params, img, fcfg, ecfg)
+    if ecfg.run_crf:
+        guidance = unnormalize_255(img)
+        if guidance.shape[-1] != ecfg.label_res:
+            guidance = resize_bilinear(guidance, (ecfg.label_res, ecfg.label_res))
+        linear_preds = jnp.argmax(dense_crf_batch(guidance, linear_log, ecfg.crf), 1)
+        cluster_preds = jnp.argmax(dense_crf_batch(guidance, cluster_log, ecfg.crf), 1)
+    else:
+        linear_preds = jnp.argmax(linear_log, 1)
+        cluster_preds = jnp.argmax(cluster_log, 1)
+    return linear_preds.astype(jnp.int32), cluster_preds.astype(jnp.int32)
+
+
+def make_eval_step(fcfg, ecfg: EvalConfig):
+    """Jitted: (params, img, label) -> (linear_stats, cluster_stats) confusion blocks."""
+
+    @jax.jit
+    def step(params, img, label):
+        linear_preds, cluster_preds = predictions(params, img, fcfg, ecfg)
+        lin_stats = confusion_update(linear_preds, label, ecfg.n_classes, 0)
+        clu_stats = confusion_update(cluster_preds, label, ecfg.n_classes,
+                                     ecfg.extra_clusters)
+        return lin_stats, clu_stats
+
+    return step
+
+
+def make_predict_step(fcfg, ecfg: EvalConfig):
+    """Jitted: (params, img) -> (linear_preds, cluster_preds) for demo output."""
+
+    @jax.jit
+    def step(params, img):
+        return predictions(params, img, fcfg, ecfg)
+
+    return step
+
+
+def make_validation_step(fcfg, n_classes: int, extra_clusters: int = 0):
+    """Training-time validation (no TTA/CRF — reference ``validation_step``
+    ``src/train_segmentation.py:471-499``): plain forward, upsample, argmax."""
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def step(params, img, label, label_res):
+        out = featurizer_lib.featurizer_apply(params["net"], img, fcfg)
+        code = resize_bilinear(out["code"], (label_res, label_res))
+        linear_preds = jnp.argmax(probes.linear_probe_apply(params["linear_probe"], code), 1)
+        _, cluster_probs = probes.cluster_lookup_apply(params["cluster_probe"], code, None)
+        cluster_preds = jnp.argmax(cluster_probs, 1)
+        lin_stats = confusion_update(linear_preds, label, n_classes, 0)
+        clu_stats = confusion_update(cluster_preds, label, n_classes, extra_clusters)
+        return lin_stats, clu_stats
+
+    return step

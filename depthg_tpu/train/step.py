@@ -274,6 +274,19 @@ def train_step(state: dict, batch: dict, key: jax.Array,
     return new_state, logs
 
 
+def eval_params_from_state(state: dict) -> dict:
+    """Merge the frozen backbone back into the canonical segmenter param layout
+    used by inference / checkpoints: {"net": {vit, cluster1[, cluster2]},
+    "linear_probe", "cluster_probe", "decoder"}."""
+    params = state["params"]
+    return {
+        "net": {**params["net"], **state["frozen"]},
+        "linear_probe": params["linear_probe"],
+        "cluster_probe": params["cluster_probe"],
+        "decoder": params["decoder"],
+    }
+
+
 def reset_probes(state: dict, key: jax.Array, fcfg, hp: TrainHParams) -> dict:
     """Reference ``reset_probe_steps`` behavior (``src/train_segmentation.py:451-455``):
     re-init both probes and their optimizer states."""

@@ -1,0 +1,140 @@
+"""Evaluate trained segmenter checkpoints on a validation set (TPU-native).
+
+Usage (reference-compatible CLI):
+    python scripts/eval_segmentation.py [key=value | --key value] ...
+
+Mirrors the reference ``src/eval_segmentation.py``: for each checkpoint in
+``model_paths``, runs flip-TTA probes (+ on-device dense CRF when ``run_crf``)
+over the val split and reports Hungarian-matched cluster/linear mIoU+Accuracy.
+Differences by design: the CRF and the confusion reduction run on-device in
+the same jitted program (no per-image CPU CRF pool), and predictions for the
+qualitative figure are written as color PNGs without a matplotlib dependency.
+"""
+
+import json
+import os
+import sys
+import time
+from os.path import join
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from depthg_tpu.config import Config, cli_overrides, load_config
+from depthg_tpu.data import ContrastiveSegDataset, DataLoader, get_transform
+from depthg_tpu.data.datasets import create_cityscapes_colormap, create_pascal_label_colormap
+from depthg_tpu.inference import EvalConfig, make_eval_step, make_predict_step
+from depthg_tpu.ops.crf import CRFConfig
+from depthg_tpu.utils.checkpoint_io import fcfg_from_run_cfg, load_segmenter
+from depthg_tpu.utils.metrics import SegMetrics
+
+
+def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
+    import jax
+
+    params, run_cfg = load_segmenter(model_path)
+    fcfg = fcfg_from_run_cfg(run_cfg)
+    dataset_name = run_cfg.get("dataset_name", "cocostuff27")
+
+    loader_crop = None if dataset_name == "voc" else "center"
+    data_dir = cfg.data_dir
+    if dataset_name == "nyuv2":
+        data_dir = join(data_dir, "nyuv2")
+
+    dataset = ContrastiveSegDataset(
+        data_dir=data_dir,
+        dataset_name=dataset_name,
+        crop_type=None,
+        image_set="val",
+        transform=get_transform(cfg.res, False, loader_crop),
+        target_transform=get_transform(cfg.res, True, loader_crop),
+        cfg=run_cfg,
+        mask=True,
+    )
+    n_classes = dataset.n_classes
+    extra_clusters = int(run_cfg.get("extra_clusters", 0))
+
+    loader = DataLoader(dataset, cfg.batch_size * 2, shuffle=False,
+                        num_workers=cfg.num_workers)
+
+    ecfg = EvalConfig(
+        n_classes=n_classes, extra_clusters=extra_clusters,
+        run_crf=bool(cfg.run_crf), label_res=int(cfg.res),
+        crf=CRFConfig(downsample=int(cfg.get("crf_downsample", 2))),
+        precision=cfg.get("matmul_precision"),
+    )
+    eval_step = make_eval_step(fcfg, ecfg)
+
+    linear_metrics = SegMetrics("final/linear/", n_classes, 0, False)
+    cluster_metrics = SegMetrics("final/cluster/", n_classes, extra_clusters, True)
+
+    t0 = time.time()
+    n_images = 0
+    pending = []
+    for batch in loader:
+        img = batch["img"].astype(np.float32)
+        label = batch["label"]
+        lin_stats, clu_stats = eval_step(params, img, label)
+        pending.append((lin_stats, clu_stats))
+        n_images += img.shape[0]
+        if len(pending) >= 8:  # drain without stalling the device queue
+            for ls, cs in pending:
+                linear_metrics.add_stats(ls)
+                cluster_metrics.add_stats(cs)
+            pending.clear()
+    for ls, cs in pending:
+        linear_metrics.add_stats(ls)
+        cluster_metrics.add_stats(cs)
+    jax.block_until_ready(jax.numpy.zeros(()))
+    dt = time.time() - t0
+
+    metrics = {**linear_metrics.compute(), **cluster_metrics.compute(),
+               "images_per_sec": n_images / dt, "n_images": n_images}
+    print(model_path)
+    print(json.dumps(metrics, indent=2))
+
+    if cfg.get("run_prediction", False):
+        result_dir = join(cfg.output_root, "predictions", cfg.experiment_name)
+        for sub in ("img", "label", "cluster", "linear"):
+            os.makedirs(join(result_dir, sub), exist_ok=True)
+        cmap = (create_cityscapes_colormap() if dataset_name.startswith("cityscapes")
+                else create_pascal_label_colormap())
+        predict = make_predict_step(fcfg, ecfg)
+        from depthg_tpu.data.transforms import unnormalize
+        from PIL import Image
+
+        batch = next(iter(loader))
+        img = batch["img"].astype(np.float32)
+        lin, clu = predict(params, img)
+        lin, clu = np.asarray(lin), np.asarray(clu)
+        clu_mapped = cluster_metrics.map_clusters(clu)
+        for j in range(min(img.shape[0], int(cfg.get("n_images", 8)))):
+            rgb = np.clip(unnormalize(img[j]) * 255, 0, 255).astype(np.uint8).transpose(1, 2, 0)
+            Image.fromarray(rgb).save(join(result_dir, "img", f"{j}.jpg"))
+            Image.fromarray(cmap[np.maximum(batch["label"][j], 0)].astype(np.uint8)).save(
+                join(result_dir, "label", f"{j}.png"))
+            Image.fromarray(cmap[np.maximum(clu_mapped[j], 0)].astype(np.uint8)).save(
+                join(result_dir, "cluster", f"{j}.png"))
+            Image.fromarray(cmap[lin[j]].astype(np.uint8)).save(
+                join(result_dir, "linear", f"{j}.png"))
+        np.savez(join(result_dir, "confusion.npz"),
+                 cluster=cluster_metrics.stats, linear=linear_metrics.stats)
+    return metrics
+
+
+def main(argv=None):
+    overrides = cli_overrides(argv if argv is not None else sys.argv[1:])
+    cfg = load_config("eval_config.yml", overrides)
+    all_metrics = {}
+    for model_path in cfg.model_paths:
+        all_metrics[model_path] = evaluate_checkpoint(model_path, cfg)
+    out_path = join(cfg.output_root, "eval_metrics.json")
+    os.makedirs(cfg.output_root, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(all_metrics, f, indent=2)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

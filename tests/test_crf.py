@@ -1,0 +1,85 @@
+"""Dense CRF: blockwise message == naive dense reference; refinement behavior."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from depthg_tpu.ops.crf import (
+    CRFConfig,
+    _bilateral_features,
+    _bilateral_message,
+    _gaussian_filter,
+    dense_crf,
+)
+
+RNG = np.random.default_rng(5)
+
+
+def test_blockwise_bilateral_matches_naive():
+    n, f, c = 300, 5, 4  # n not a multiple of block → exercises padding
+    feats = RNG.standard_normal((n, f)).astype(np.float32)
+    vals = RNG.standard_normal((n, c)).astype(np.float32)
+    d = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+    want = np.exp(-d / 2) @ vals
+    got = np.asarray(_bilateral_message(jnp.asarray(feats), jnp.asarray(vals), block=128))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_gaussian_filter_matches_naive():
+    c, h, w = 3, 12, 14
+    q = RNG.standard_normal((c, h, w)).astype(np.float32)
+    sigma = 1.0
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pos = np.stack([yy.ravel(), xx.ravel()], -1).astype(np.float64)
+    d = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    k = np.exp(-d / (2 * sigma**2))
+    want = (k @ q.reshape(c, -1).T).T.reshape(c, h, w)
+    got = np.asarray(_gaussian_filter(jnp.asarray(q), sigma))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_crf_preserves_confident_regions_and_normalizes():
+    # two-color image with noisy unaries: CRF should denoise inside regions
+    h = w = 32
+    img = np.zeros((3, h, w), np.float32)
+    img[:, :, : w // 2] = 200.0
+    img[:, :, w // 2:] = 30.0
+    true = np.zeros((h, w), np.int64)
+    true[:, w // 2:] = 1
+
+    logits = np.zeros((2, h, w), np.float32)
+    logits[0] = np.where(true == 0, 2.0, -2.0)
+    logits[1] = -logits[0]
+    noise_mask = RNG.random((h, w)) < 0.15
+    logits[:, noise_mask] *= -1  # flip 15% of pixels
+
+    q = np.asarray(dense_crf(jnp.asarray(img), jnp.asarray(logits),
+                             CRFConfig(downsample=1, block=256)))
+    np.testing.assert_allclose(q.sum(0), 1.0, atol=1e-4)
+    pred = q.argmax(0)
+    noisy_acc = (np.where(noise_mask, 1 - true, true) == true).mean()
+    crf_acc = (pred == true).mean()
+    assert crf_acc > noisy_acc
+    assert crf_acc > 0.97
+
+
+def test_crf_downsample_close_to_exact():
+    # structured scene (piecewise-constant colors, coherent logits): the 2x
+    # working-resolution approximation must agree with exact full-res CRF
+    h = w = 64
+    img = np.zeros((3, h, w), np.float32)
+    img[0, : h // 2] = 220.0
+    img[1, h // 2:, : w // 2] = 180.0
+    img[2, h // 2:, w // 2:] = 140.0
+    img += RNG.random((3, h, w)).astype(np.float32) * 10
+    logits = np.full((3, h, w), -1.0, np.float32)
+    logits[0, : h // 2] = 1.0
+    logits[1, h // 2:, : w // 2] = 1.0
+    logits[2, h // 2:, w // 2:] = 1.0
+    logits += RNG.standard_normal((3, h, w)).astype(np.float32)
+    q1 = np.asarray(dense_crf(jnp.asarray(img), jnp.asarray(logits), CRFConfig(downsample=1, block=512)))
+    q2 = np.asarray(dense_crf(jnp.asarray(img), jnp.asarray(logits), CRFConfig(downsample=2, block=512)))
+    agree = (q1.argmax(0) == q2.argmax(0)).mean()
+    assert agree > 0.95
