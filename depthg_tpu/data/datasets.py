@@ -112,16 +112,19 @@ class _Base:
         label = self.target_transform.apply(label_pil, params)
         depth = None
         if depth_arr is not None:
-            # depth follows the same geometry as the label (NEAREST + crop)
-            dpil = Image.fromarray(depth_arr[0].astype(np.float32), mode="F")
-            dres = T.resize_shorter(dpil, (self.target_transform.res, self.target_transform.res)
-                                    if self.target_transform.crop_type is None
-                                    else self.target_transform.res)
-            if self.target_transform.crop_type == "center":
-                dres = T.center_crop(dres, self.target_transform.res)
-            elif self.target_transform.crop_type == "random":
-                dres = T.random_crop(dres, self.target_transform.res, *params)
-            depth = np.asarray(dres, np.float32)[None]
+            tt = self.target_transform
+            if getattr(tt, "res", None) is None:  # RawTransform: tensorize only
+                depth = depth_arr.astype(np.float32)
+            else:
+                # depth follows the same geometry as the label (NEAREST + crop)
+                dpil = Image.fromarray(depth_arr[0].astype(np.float32), mode="F")
+                dres = T.resize_shorter(dpil, (tt.res, tt.res)
+                                        if tt.crop_type is None else tt.res)
+                if tt.crop_type == "center":
+                    dres = T.center_crop(dres, tt.res)
+                elif tt.crop_type == "random":
+                    dres = T.random_crop(dres, tt.res, *params)
+                depth = np.asarray(dres, np.float32)[None]
         return img, label, depth
 
     def __len__(self):

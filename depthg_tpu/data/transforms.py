@@ -144,6 +144,26 @@ def get_transform(res: int, is_label: bool, crop_type: str | None) -> Transform:
     return Transform(res=res, is_label=is_label, crop_type=crop_type)
 
 
+@dataclasses.dataclass
+class RawTransform:
+    """Tensorize only — no resize/crop/normalize. Used by ``crop_datasets``
+    (the reference passes plain ToTensor/ToTargetTensor there,
+    ``src/crop_datasets.py:148-149``)."""
+
+    is_label: bool
+    res: int | None = None
+    crop_type: str | None = None
+
+    def crop_params(self, pil, rng):
+        return (0, 0)
+
+    def apply(self, pil, params=(0, 0)):
+        return label_to_array(pil) if self.is_label else image_to_array(pil)
+
+    def __call__(self, pil, rng=None):
+        return self.apply(pil)
+
+
 # ---- photometric / geometric augmentation (train-time aug_alignment path) ----
 
 def random_horizontal_flip(rng, pil):

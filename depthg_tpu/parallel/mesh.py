@@ -21,6 +21,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_for_batch(batch_size: int, n_devices: int | None = None,
+                        axis: str = "data") -> Mesh:
+    """Largest mesh (<= available devices) whose size divides the batch."""
+    avail = len(jax.devices()) if n_devices is None else n_devices
+    d = max(k for k in range(1, avail + 1) if batch_size % k == 0)
+    return make_mesh(d, axis)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard dim 0 (batch) across the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -1,0 +1,249 @@
+"""Train the DepthG segmenter (TPU-native).
+
+Mirrors the reference ``src/train_segmentation.py`` training semantics —
+contrastive correlation distillation with depth guidance, three Adam groups,
+decay schedules, periodic validation with Hungarian-matched metrics, best/last
+checkpointing monitored on ``test/cluster/mIoU`` (Accuracy for potsdam) — as a
+host loop around one jitted, mesh-shardable train step.
+
+TPU-specific structure:
+* decay schedules are host functions of the step; shape-affecting values
+  (feature_samples, sampling mode) pick a jit bucket;
+* the frozen DINO backbone is loaded from ``pretrained_weights`` (zero-egress:
+  no torch-hub download; pass a DINO ``.pth`` or Lightning ``.ckpt``) and kept
+  on host for checkpoint writes — only ~MBs of trainables ever leave the
+  device;
+* validation accumulates confusion matrices on device and fetches [K, C] ints.
+"""
+
+import json
+import os
+import sys
+import time
+from datetime import datetime
+from os.path import join
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from depthg_tpu.config import cli_overrides, load_config
+from depthg_tpu.data import ContrastiveSegDataset, DataLoader, get_transform
+from depthg_tpu.data.transforms import GeometricAug, PhotometricAug
+from depthg_tpu.utils.checkpoint_io import fcfg_from_run_cfg, save_native
+from depthg_tpu.utils.metrics import SegMetrics
+
+
+def build_datasets(cfg):
+    eval_res = 224 if cfg.model_type == "mae" else 320
+    use_augs = float(cfg.aug_alignment_weight) > 0
+    data_dir = cfg.data_dir
+    train_dataset = ContrastiveSegDataset(
+        data_dir=data_dir, dataset_name=cfg.dataset_name, crop_type=cfg.crop_type,
+        image_set="train",
+        transform=get_transform(cfg.res, False, cfg.loader_crop_type),
+        target_transform=get_transform(cfg.res, True, cfg.loader_crop_type),
+        cfg=cfg,
+        aug_geometric_transform=GeometricAug(cfg.res) if use_augs else None,
+        aug_photometric_transform=PhotometricAug() if use_augs else None,
+        num_neighbors=cfg.num_neighbors, mask=True, pos_images=True, pos_labels=True,
+        return_depth=cfg.use_depth, depth_type=cfg.depth_type)
+
+    val_crop = None if cfg.dataset_name == "voc" else "center"
+    val_dir = join(data_dir, "nyuv2") if cfg.dataset_name == "nyuv2" else data_dir
+    val_dataset = ContrastiveSegDataset(
+        data_dir=val_dir, dataset_name=cfg.dataset_name, crop_type=None,
+        image_set="val",
+        transform=get_transform(eval_res, False, val_crop),
+        target_transform=get_transform(eval_res, True, val_crop),
+        cfg=cfg, mask=True)
+    return train_dataset, val_dataset, eval_res
+
+
+def load_backbone(cfg, fcfg):
+    """Frozen ViT weights: DINO .pth / Lightning .ckpt path, or random+warn."""
+    import jax
+
+    from depthg_tpu.models.featurizer import featurizer_init
+    from depthg_tpu.utils import ckpt as torch_ckpt
+
+    path = cfg.get("pretrained_weights")
+    if path and os.path.exists(path):
+        if path.endswith(".ckpt"):
+            params, _ = torch_ckpt.load_lightning_ckpt(path)
+            return params["net"]["vit"]
+        return torch_ckpt.load_dino_pth(path)
+    print("WARNING: pretrained_weights not provided/found. The reference would "
+          "download DINO weights from torch hub; this environment has no "
+          "egress, so the backbone is randomly initialized. Pass "
+          "pretrained_weights=/path/to/dino.pth for real runs.")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return jax.tree_util.tree_map(
+            np.asarray, featurizer_init(jax.random.PRNGKey(0), fcfg)["vit"])
+
+
+def main(argv=None):
+    overrides = cli_overrides(argv if argv is not None else sys.argv[1:])
+    cfg = load_config("local_config.yml", overrides)
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from depthg_tpu.inference import make_validation_step
+    from depthg_tpu.models.featurizer import FeaturizerConfig
+    from depthg_tpu.parallel import mesh as mesh_lib
+    from depthg_tpu.train import decay as decay_lib
+    from depthg_tpu.train import losses as loss_lib
+    from depthg_tpu.train import step as step_lib
+    from depthg_tpu.utils.ckpt import to_jax
+
+    if cfg.arch != "dino":
+        raise NotImplementedError(
+            f"arch={cfg.arch}: dino_depth/feature-pyramid land in a later revision")
+
+    seed = int(cfg.get("seed", 0))
+    np.random.seed(seed)
+
+    name = "{}/{}_{}_date_{}".format(cfg.log_dir, cfg.dataset_name,
+                                     cfg.experiment_name,
+                                     datetime.now().strftime("%b%d_%H-%M-%S"))
+    checkpoint_dir = join(cfg.output_root, "checkpoints", name.replace("/", "_"))
+    log_path = join(cfg.output_root, "logs", name.replace("/", "_") + ".jsonl")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    os.makedirs(os.path.dirname(log_path), exist_ok=True)
+    log_file = open(log_path, "a")
+
+    train_dataset, val_dataset, eval_res = build_datasets(cfg)
+    n_classes = train_dataset.n_classes
+
+    fcfg = fcfg_from_run_cfg(cfg)
+    hp = step_lib.hparams_from_cfg(cfg, n_classes)
+    dcfg = decay_lib.from_cfg(cfg)
+    base_lcfg = loss_lib.from_cfg(cfg)
+
+    host_backbone = load_backbone(cfg, fcfg)
+
+    state = step_lib.init_state(jax.random.PRNGKey(seed), fcfg, hp)
+    state["frozen"] = {"vit": to_jax(host_backbone)}
+
+    mesh = mesh_lib.make_mesh_for_batch(int(cfg.batch_size), cfg.get("n_devices"))
+    multi = mesh.devices.size > 1
+    if multi:
+        state = mesh_lib.replicate(state, mesh)
+
+    train_loader = DataLoader(train_dataset, cfg.batch_size, shuffle=True,
+                              num_workers=cfg.num_workers, drop_last=True, seed=seed)
+    val_loader = DataLoader(val_dataset, cfg.batch_size, shuffle=False,
+                            num_workers=cfg.num_workers)
+
+    import dataclasses
+
+    @functools.partial(jax.jit, static_argnames=("mode", "s"))
+    def jstep(state, batch, key, w, sh, mode, s):
+        lcfg = dataclasses.replace(base_lcfg, depth_sampling=mode, feature_samples=s)
+        return step_lib.train_step(state, batch, key, fcfg, hp, lcfg, w, sh)
+
+    val_step = make_validation_step(fcfg, n_classes, hp.extra_clusters)
+
+    monitor = "test/cluster/Accuracy" if cfg.dataset_name == "potsdam" else "test/cluster/mIoU"
+    best_monitor = -1.0
+    maxima = {}
+
+    needed = {"img", "img_pos", "label", "depth", "depth_pos"}
+    if cfg.use_true_labels:
+        needed.add("label_pos")
+    if cfg.use_salience:
+        needed |= {"mask", "mask_pos"}
+    if float(cfg.aug_alignment_weight) > 0:
+        needed |= {"img_aug", "coord_aug"}
+
+    def device_batch(batch):
+        out = {}
+        for k in needed:
+            if k in batch:
+                v = batch[k]
+                v = v.astype(np.float32) if v.dtype in (np.float64,) else v
+                out[k] = jnp.asarray(v)
+        if multi:
+            out = mesh_lib.shard_batch(out, mesh)
+        return out
+
+    def save_ckpt(tag, metrics=None):
+        params = jax.device_get(step_lib.eval_params_from_state(state))
+        params["net"]["vit"] = host_backbone  # avoid re-fetching the backbone
+        save_native(join(checkpoint_dir, tag), params, dict(cfg),
+                    extra={"metrics": metrics or {}})
+
+    def run_validation(step_num):
+        linear_m = SegMetrics("test/linear/", n_classes, 0, False)
+        cluster_m = SegMetrics("test/cluster/", n_classes, hp.extra_clusters, True)
+        eval_params = step_lib.eval_params_from_state(state)
+        for batch in val_loader:
+            img = jnp.asarray(batch["img"].astype(np.float32))
+            label = jnp.asarray(batch["label"])
+            ls, cs = val_step(eval_params, img, label, eval_res)
+            linear_m.add_stats(ls)
+            cluster_m.add_stats(cs)
+        tb = {**linear_m.compute(), **cluster_m.compute()}
+        for k, v in tb.items():
+            mk = k.replace("test/", "test/Max", 1)
+            if v > maxima.get(mk, -1):
+                maxima[mk] = v
+        tb.update(maxima)
+        tb["step"] = step_num
+        print(json.dumps(tb))
+        log_file.write(json.dumps(tb) + "\n")
+        log_file.flush()
+        return tb
+
+    print(f"training {cfg.dataset_name} for {cfg.max_steps} steps "
+          f"(n_classes={n_classes}, mesh={mesh.devices.size} devices)")
+    step_num = 0
+    t_last = time.time()
+    pending_logs = None
+    while step_num < cfg.max_steps:
+        for batch in train_loader:
+            if step_num >= cfg.max_steps:
+                break
+            mode, s = decay_lib.sampling_schedule(dcfg, step_num)
+            w = decay_lib.depth_feat_weight(dcfg, step_num)
+            sh = decay_lib.depth_feat_shift(dcfg, step_num)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), step_num)
+            state, logs = jstep(state, device_batch(batch), key, w, sh, mode, s)
+            step_num += 1
+
+            if step_num % cfg.scalar_log_freq == 0:
+                pending_logs = (step_num, logs)  # fetch lazily, off the hot path
+            if pending_logs and step_num % (cfg.scalar_log_freq * 5) == 0:
+                sn, lg = pending_logs
+                host = {k: float(v) for k, v in jax.device_get(lg).items()}
+                host.update({"step": sn, "cfg/depth_feat_weight": w,
+                             "cfg/depth_feat_shift": sh, "cfg/feature_samples": s,
+                             "steps_per_sec": cfg.scalar_log_freq * 5 / (time.time() - t_last)})
+                t_last = time.time()
+                log_file.write(json.dumps(host) + "\n")
+                log_file.flush()
+                pending_logs = None
+
+            if cfg.get("reset_probe_steps") is not None and step_num == cfg.reset_probe_steps:
+                state = step_lib.reset_probes(state, jax.random.fold_in(
+                    jax.random.PRNGKey(seed), -1), fcfg, hp)
+
+            if step_num % cfg.val_freq == 0:
+                tb = run_validation(step_num)
+                if tb[monitor] > best_monitor:
+                    best_monitor = tb[monitor]
+                    save_ckpt("best", tb)
+                save_ckpt("last", tb)
+
+    tb = run_validation(step_num)
+    save_ckpt("last", tb)
+    print(f"done. best {monitor}: {max(best_monitor, tb[monitor]):.3f}")
+    print(f"checkpoints: {checkpoint_dir}")
+
+
+if __name__ == "__main__":
+    main()

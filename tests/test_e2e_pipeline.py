@@ -1,0 +1,106 @@
+"""End-to-end pipeline smoke (SURVEY.md §4): synthetic COCO -> crop ->
+precompute_knns -> train a few steps -> eval, all through the CLI mains."""
+
+import json
+import os
+import sys
+from os.path import join
+
+import numpy as np
+import pytest
+from PIL import Image
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+
+
+def _load_script(name):
+    """Import a CLI script by file path (the reference dir on sys.path from the
+    parity tests shadows these module names otherwise)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"depthg_scripts_{name}", os.path.join(SCRIPTS, name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    rng = np.random.default_rng(0)
+    base = join(root, "cocostuff")
+    ids = {"train2017": [f"img{i}" for i in range(8)],
+           "val2017": [f"val{i}" for i in range(4)]}
+    for split, names in ids.items():
+        os.makedirs(join(base, "curated", split), exist_ok=True)
+        os.makedirs(join(base, "images", split), exist_ok=True)
+        os.makedirs(join(base, "annotations", split), exist_ok=True)
+        os.makedirs(join(base, "depth", split), exist_ok=True)
+        for lst in ("Coco164kFull_Stuff_Coarse.txt", "Coco164kFull_Stuff_Coarse_7.txt"):
+            with open(join(base, "curated", split, lst), "w") as f:
+                f.write("\n".join(names))
+        for n in names:
+            Image.fromarray(rng.integers(0, 255, (96, 96, 3), np.uint8)).save(
+                join(base, "images", split, n + ".jpg"))
+            Image.fromarray(rng.integers(0, 182, (96, 96)).astype(np.uint8)).save(
+                join(base, "annotations", split, n + ".png"))
+            Image.fromarray(rng.integers(0, 255, (96, 96), np.uint8)).save(
+                join(base, "depth", split, n + "_zoedepth.png"))
+    return root
+
+
+COMMON = [
+    "model_type=vit_tiny", "dim=16", "res=32", "batch_size=4", "num_workers=2",
+    "feature_samples=3", "neg_samples=2", "num_neighbors=3",
+]
+
+
+def test_full_pipeline(coco_root, tmp_path):
+    crop_datasets = _load_script("crop_datasets")
+    precompute_knns = _load_script("precompute_knns")
+    train_segmentation = _load_script("train_segmentation")
+
+    out_root = str(tmp_path / "outputs")
+    args = COMMON + [f"data_dir={coco_root}", f"output_root={out_root}"]
+
+    # 1. five-crop with depth
+    crop_datasets.main(args + ["crop_datasets=[cocostuff27]",
+                               "crop_image_sets=[train]", "generate_depth=True"])
+    crop_dir = join(coco_root, "cropped", "cocostuff27_five_crop_0.5")
+    assert len(os.listdir(join(crop_dir, "img", "train"))) == 40
+    assert len(os.listdir(join(crop_dir, "depth", "train"))) == 40
+    lab = np.asarray(Image.open(join(crop_dir, "label", "train", "0.png")))
+    assert lab.min() >= 0  # stored +1
+
+    # 2. KNN over the crops
+    precompute_knns.main(args + ["knn_datasets=[cocostuff27]",
+                                 "knn_crop_types=[five]", "knn_image_sets=[train]"])
+    nn_file = join(coco_root, "nns", "nns_vit_tiny_cocostuff27_train_five_32.npz")
+    assert os.path.exists(nn_file)
+    nns = np.load(nn_file)["nns"]
+    assert nns.shape == (40, 30)
+    assert (nns[:, 0] == np.arange(40)).all()  # rank-0 neighbor is self
+
+    # 3. train a few steps (random backbone; checks the loop, not quality)
+    train_segmentation.main(args + [
+        "max_steps=3", "val_freq=3", "scalar_log_freq=1", "use_depth=True",
+        "depth_sampling=fps", "depth_feat_correlation_loss=True",
+        "experiment_name=e2e", "wandb_logging=False"])
+    ckpt_root = join(out_root, "checkpoints")
+    runs = os.listdir(ckpt_root)
+    assert runs, "no checkpoint dir written"
+    run_dir = join(ckpt_root, runs[0])
+    assert "last" in os.listdir(run_dir)
+
+    # 4. eval the trained checkpoint through the eval CLI
+    eval_segmentation = _load_script("eval_segmentation")
+
+    eval_segmentation.main(args + [
+        f"model_paths=[{join(run_dir, 'last')}]", "run_crf=True",
+        "crf_downsample=2", "run_prediction=False", "res=32",
+        "experiment_name=e2e_eval"])
+    metrics = json.load(open(join(out_root, "eval_metrics.json")))
+    vals = list(metrics.values())[0]
+    assert np.isfinite(vals["final/cluster/mIoU"])
+    assert vals["n_images"] == 4
