@@ -49,7 +49,18 @@ class TrainHParams:
     probe_lr: float = 5e-3
     use_depth: bool = True
     use_true_labels: bool = False
+    use_depth_only_intra: bool = False
     extra_clusters: int = 0
+    # LHP (reference src/train_segmentation.py:202-344); the LHP projection
+    # head is NOT in any optimizer in the reference (configure_optimizers only
+    # takes net[, decoder]) — it stays at init, preserved here by keeping its
+    # params in the non-optimized branch of the state.
+    lhp: bool = False
+    lhp_weight: float = 0.2
+    lhp_depth_weight: float = 1.0
+    lhp_weight_balance: bool = False
+    lhp_original_experiment: bool = False  # experiment_name contains "lhp_original"
+    lhp_propagation_strategy: str = "depth"
     # ContrastiveCRFLoss constants (crf_weight>0 path)
     crf_samples: int = 1000
     alpha: float = 0.5
@@ -73,7 +84,14 @@ def hparams_from_cfg(cfg, n_classes: int) -> TrainHParams:
         lr=float(cfg.lr),
         use_depth=bool(cfg.use_depth),
         use_true_labels=bool(cfg.use_true_labels),
+        use_depth_only_intra=bool(cfg.get("use_depth_only_intra", False)),
         extra_clusters=int(cfg.extra_clusters),
+        lhp=bool(cfg.get("lhp", False)),
+        lhp_weight=float(cfg.get("lhp_weight", 0.2)),
+        lhp_depth_weight=float(cfg.get("lhp_depth_weight", 1.0)),
+        lhp_weight_balance=bool(cfg.get("lhp_weight_balance", False)),
+        lhp_original_experiment="lhp_original" in str(cfg.get("experiment_name", "")),
+        lhp_propagation_strategy=str(cfg.get("propagation_strategy", "depth")),
         crf_samples=int(cfg.crf_samples),
         alpha=float(cfg.alpha), beta=float(cfg.beta), gamma=float(cfg.gamma),
         w1=float(cfg.w1), w2=float(cfg.w2), shift=float(cfg.shift),
@@ -88,12 +106,39 @@ def make_optimizers(hp: TrainHParams):
     }
 
 
+def _is_depth_arch(fcfg) -> bool:
+    from depthg_tpu.models.featurizer_depth import DepthFeaturizerConfig
+
+    return isinstance(fcfg, DepthFeaturizerConfig)
+
+
+def _apply_featurizer(net_params, img, fcfg, *, depth=None, key=None, train=False):
+    if _is_depth_arch(fcfg):
+        from depthg_tpu.models.featurizer_depth import depth_featurizer_apply
+
+        return depth_featurizer_apply(net_params, img, fcfg, depth=depth,
+                                      key=key, train=train)
+    return featurizer_lib.featurizer_apply(net_params, img, fcfg, key=key, train=train)
+
+
 def init_state(key: jax.Array, fcfg: featurizer_lib.FeaturizerConfig,
                hp: TrainHParams) -> dict:
     """Build the full train state pytree."""
     kf, kl, kc, kd, kt = jax.random.split(key, 5)
-    net = featurizer_lib.featurizer_init(kf, fcfg)
+    if _is_depth_arch(fcfg):
+        from depthg_tpu.models.featurizer_depth import depth_featurizer_init
+
+        net = depth_featurizer_init(kf, fcfg)
+    else:
+        net = featurizer_lib.featurizer_init(kf, fcfg)
     frozen = {"vit": net.pop("vit")}
+    if hp.lhp:
+        from depthg_tpu.models.lhp import LHPConfig, lhp_init
+
+        # LHP head is never optimized in the reference -> lives in `frozen`
+        frozen["lhp"] = lhp_init(kt, LHPConfig(
+            dim=fcfg.dim, propagation_strategy=hp.lhp_propagation_strategy,
+            original=hp.lhp_original_experiment))
     params = {
         "net": net,  # cluster1 [+ cluster2] projection head
         "linear_probe": probes.linear_probe_init(kl, fcfg.dim, hp.n_classes),
@@ -137,7 +182,8 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
             lcfg: loss_lib.CorrLossConfig, depth_feat_weight: float,
             depth_feat_shift: float):
     """Total loss + metrics; differentiable w.r.t. ``trainable`` only."""
-    params = {"net": dict(trainable["net"], **frozen), **{k: v for k, v in trainable.items() if k != "net"}}
+    params = {"net": dict(trainable["net"], vit=frozen["vit"]),
+              **{k: v for k, v in trainable.items() if k != "net"}}
     net_params = params["net"]
 
     img = batch["img"]
@@ -145,17 +191,30 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
     depth = batch.get("depth")
     depth_pos = batch.get("depth_pos")
 
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    out = featurizer_lib.featurizer_apply(net_params, img, fcfg, key=k1, train=True)
+    k1, k2, k3, k3b, k4, k5 = jax.random.split(key, 6)
+    out = _apply_featurizer(net_params, img, fcfg, depth=depth, key=k1, train=True)
     feats, code = out["feats"], out["code"]
 
     logs: dict[str, Any] = {}
     loss = 0.0
 
+    lhp_code = lhp_code_pos = None
+    if hp.lhp:
+        from depthg_tpu.models.lhp import LHPConfig, lhp_apply
+
+        lhp_cfg = LHPConfig(dim=fcfg.dim,
+                            propagation_strategy=hp.lhp_propagation_strategy,
+                            original=hp.lhp_original_experiment)
+        lhp_code = lhp_apply(frozen["lhp"], lhp_cfg, code, depth, img, out["attn"])
+
     if hp.correspondence_weight > 0:
-        out_pos = featurizer_lib.featurizer_apply(net_params, batch["img_pos"], fcfg,
-                                                  key=k2, train=True)
+        out_pos = _apply_featurizer(net_params, batch["img_pos"], fcfg,
+                                    depth=depth_pos, key=k2, train=True)
         feats_pos, code_pos = out_pos["feats"], out_pos["code"]
+        if hp.lhp:
+            # positive side: projection-only (reference passes depth=None,
+            # src/train_segmentation.py:215)
+            lhp_code_pos = lhp_apply(frozen["lhp"], lhp_cfg, code_pos)
 
         if hp.use_true_labels:
             signal = jax.nn.one_hot(label + 1, hp.n_classes + 1, axis=1, dtype=jnp.float32)
@@ -164,11 +223,22 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
         else:
             signal, signal_pos = feats, feats_pos
 
-        corr = loss_lib.contrastive_correlation_loss(
-            k3, lcfg, signal, signal_pos, code, code_pos,
-            depth=depth, depth_pos=depth_pos,
-            salience=batch.get("mask"), salience_pos=batch.get("mask_pos"),
-            depth_feat_shift=depth_feat_shift)
+        def corr_loss(k, c, c_pos):
+            if hp.use_depth_only_intra:
+                # depth-augmented feats drive pos_intra; with the dino_depth
+                # arch these are the fused features (the reference's call
+                # signature for this path is inconsistent — see train.losses)
+                return loss_lib.depth_contrastive_correlation_loss(
+                    k, lcfg, signal, signal_pos, c, c_pos,
+                    depth_aug_feats=feats, depth_aug_feats_pos=feats_pos,
+                    salience=batch.get("mask"), salience_pos=batch.get("mask_pos"))
+            return loss_lib.contrastive_correlation_loss(
+                k, lcfg, signal, signal_pos, c, c_pos,
+                depth=depth, depth_pos=depth_pos,
+                salience=batch.get("mask"), salience_pos=batch.get("mask_pos"),
+                depth_feat_shift=depth_feat_shift)
+
+        corr = corr_loss(k3, code, code_pos)
 
         pos_intra = corr["pos_intra_loss"]
         pos_inter = corr["pos_inter_loss"]
@@ -183,12 +253,35 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
         corr_total = (hp.pos_inter_weight * pos_inter
                       + hp.pos_intra_weight * pos_intra
                       + hp.neg_inter_weight * neg_inter)
-        if lcfg.depth_feat_correlation_loss:
+        has_df = lcfg.depth_feat_correlation_loss and not hp.use_depth_only_intra
+        if has_df:
             df = corr["depth_feat_loss"]
             logs["loss/depth_feat"] = df
             logs["cd/depth_feat"] = corr["depth_feat_cd"].mean()
             corr_total = corr_total + depth_feat_weight * df
-        loss = loss + corr_total * hp.correspondence_weight
+
+        if hp.lhp:
+            # balance/zeroing semantics: src/train_segmentation.py:325-344
+            balance = hp.lhp_weight if (has_df and hp.lhp_weight_balance) else 0.0
+            lhp_weight = hp.lhp_weight
+            main_scale = hp.correspondence_weight - balance if has_df else hp.correspondence_weight
+            if hp.lhp_original_experiment:
+                main_scale = 0.0
+                lhp_weight = 1.0
+            loss = loss + corr_total * main_scale
+
+            lhp_corr = corr_loss(k3b, lhp_code, lhp_code_pos)
+            lhp_total = (hp.pos_inter_weight * lhp_corr["pos_inter_loss"]
+                         + hp.pos_intra_weight * lhp_corr["pos_intra_loss"]
+                         + hp.neg_inter_weight * lhp_corr["neg_inter_loss"].mean())
+            if has_df:
+                lhp_total = lhp_total + (depth_feat_weight * hp.lhp_depth_weight
+                                         * lhp_corr["depth_feat_loss"])
+            loss = loss + lhp_total * lhp_weight
+            logs["loss/lhp_pos_intra"] = lhp_corr["pos_intra_loss"]
+            logs["loss/lhp_pos_inter"] = lhp_corr["pos_inter_loss"]
+        else:
+            loss = loss + corr_total * hp.correspondence_weight
 
     if hp.rec_weight > 0:
         rec_feats = probes.decoder_apply(params["decoder"], code)
@@ -197,8 +290,8 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
         loss = loss + hp.rec_weight * rec_loss
 
     if hp.aug_alignment_weight > 0:
-        out_aug = featurizer_lib.featurizer_apply(net_params, batch["img_aug"], fcfg,
-                                                  key=k4, train=True)
+        out_aug = _apply_featurizer(net_params, batch["img_aug"], fcfg,
+                                    key=k4, train=True)
         code_aug = out_aug["code"]
         coord_aug = jnp.transpose(batch["coord_aug"], (0, 3, 1, 2))
         down = resize_bilinear(coord_aug, code_aug.shape[2])

@@ -100,9 +100,8 @@ def main(argv=None):
     from depthg_tpu.train import step as step_lib
     from depthg_tpu.utils.ckpt import to_jax
 
-    if cfg.arch != "dino":
-        raise NotImplementedError(
-            f"arch={cfg.arch}: dino_depth/feature-pyramid land in a later revision")
+    if cfg.arch not in ("dino", "dino_depth"):
+        raise NotImplementedError(f"arch={cfg.arch} (feature-pyramid: see models.pyramid)")
 
     seed = int(cfg.get("seed", 0))
     np.random.seed(seed)
@@ -120,6 +119,14 @@ def main(argv=None):
     n_classes = train_dataset.n_classes
 
     fcfg = fcfg_from_run_cfg(cfg)
+    if cfg.arch == "dino_depth":
+        from depthg_tpu.models.featurizer_depth import DepthFeaturizerConfig
+
+        fcfg = DepthFeaturizerConfig(
+            arch=fcfg.arch, patch_size=fcfg.patch_size, feat_type=fcfg.feat_type,
+            projection_type=fcfg.projection_type, dim=fcfg.dim,
+            dropout=fcfg.dropout, vit_config=fcfg.vit_config,
+            guidance=str(cfg.get("guidance", "none")))
     hp = step_lib.hparams_from_cfg(cfg, n_classes)
     dcfg = decay_lib.from_cfg(cfg)
     base_lcfg = loss_lib.from_cfg(cfg)
