@@ -57,3 +57,31 @@ def decoder_init(key: jax.Array, dim: int, n_feats: int, dtype=jnp.float32) -> d
 
 def decoder_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return conv1x1(params, x)
+
+
+def full_decoder_init(key: jax.Array, code_ch: int, feat_ch: int, dtype=jnp.float32) -> dict:
+    """The reference's standalone ``Decoder`` module (``src/modules.py:1474-1486``):
+    a linear 1x1 conv plus a conv-relu-conv-relu-conv branch, summed."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "linear": conv1x1_init(k1, code_ch, feat_ch, dtype),
+        "nl1": conv1x1_init(k2, code_ch, code_ch, dtype),
+        "nl2": conv1x1_init(k3, code_ch, code_ch, dtype),
+        "nl3": conv1x1_init(k4, code_ch, feat_ch, dtype),
+    }
+
+
+def full_decoder_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    lin = conv1x1(params["linear"], x)
+    h = jax.nn.relu(conv1x1(params["nl1"], x))
+    h = jax.nn.relu(conv1x1(params["nl2"], h))
+    return lin + conv1x1(params["nl3"], h)
+
+
+def resize_and_classify(params: dict, x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Reference ``ResizeAndClassify`` (``src/modules.py:634-644``):
+    1x1-conv predictor -> log-softmax -> bilinear upsample."""
+    from depthg_tpu.ops.resize import resize_bilinear
+
+    logits = jax.nn.log_softmax(conv1x1(params, x), axis=1)
+    return resize_bilinear(logits, size)

@@ -1,0 +1,197 @@
+"""FeaturePyramidNet (arch="feature-pyramid") + minimal ResNet-50 backbone.
+
+Behavioral port of reference ``FeaturePyramidNet`` / ``DoubleConv`` /
+``NetWithActivations`` (``src/modules.py:678-786, 1489-1507``) and the
+``load_model`` ResNet path (``src/utils.py:68-124``). Unused by the paper
+configs (SURVEY.md §2.1) but part of the component surface.
+
+The ResNet-50 is a functional JAX implementation with a torchvision
+state-dict converter; BatchNorm runs in inference mode (running stats) —
+the backbone is frozen in this architecture (``src/modules.py:733``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from depthg_tpu.models.zoedepth.layers import conv2d, conv_init
+from depthg_tpu.ops.resize import resize_bilinear
+
+
+# ---------------- ResNet-50 (frozen backbone) ----------------
+
+def _bn_init(ch, dtype=jnp.float32):
+    return {"g": jnp.ones((ch,), dtype), "b": jnp.zeros((ch,), dtype),
+            "mean": jnp.zeros((ch,), dtype), "var": jnp.ones((ch,), dtype)}
+
+
+def batch_norm(p, x, eps=1e-5):
+    inv = jax.lax.rsqrt(p["var"] + eps)
+    return ((x - p["mean"][None, :, None, None]) * inv[None, :, None, None]
+            * p["g"][None, :, None, None] + p["b"][None, :, None, None])
+
+
+def _bottleneck_init(key, in_ch, mid, out_ch, stride, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "conv1": conv_init(k1, in_ch, mid, 1, dtype, bias=False), "bn1": _bn_init(mid),
+        "conv2": conv_init(k2, mid, mid, 3, dtype, bias=False), "bn2": _bn_init(mid),
+        "conv3": conv_init(k3, mid, out_ch, 1, dtype, bias=False), "bn3": _bn_init(out_ch),
+    }
+    if stride != 1 or in_ch != out_ch:
+        p["down"] = {"conv": conv_init(k4, in_ch, out_ch, 1, dtype, bias=False),
+                     "bn": _bn_init(out_ch)}
+    return p
+
+
+def _bottleneck(p, x, stride):
+    # stride is static structure (first block of layers 2-4), kept out of the
+    # param pytree so device_put never turns it into a traced value
+    y = jax.nn.relu(batch_norm(p["bn1"], conv2d(p["conv1"], x)))
+    y = jax.nn.relu(batch_norm(p["bn2"], conv2d(p["conv2"], y, stride=stride, padding=1)))
+    y = batch_norm(p["bn3"], conv2d(p["conv3"], y))
+    if "down" in p:
+        x = batch_norm(p["down"]["bn"], conv2d(p["down"]["conv"], x, stride=stride))
+    return jax.nn.relu(x + y)
+
+
+_R50_LAYERS = [(3, 64, 256, 1), (4, 128, 512, 2), (6, 256, 1024, 2), (3, 512, 2048, 2)]
+
+
+def resnet50_init(key: jax.Array, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 64))
+    params = {"conv1": conv_init(next(keys), 3, 64, 7, dtype, bias=False),
+              "bn1": _bn_init(64), "layers": []}
+    in_ch = 64
+    for blocks, mid, out_ch, stride in _R50_LAYERS:
+        layer = []
+        for b in range(blocks):
+            layer.append(_bottleneck_init(next(keys), in_ch, mid, out_ch,
+                                          stride if b == 0 else 1, dtype))
+            in_ch = out_ch
+        params["layers"].append(layer)
+    return params
+
+
+def _max_pool_3x3_s2(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 1, 3, 3),
+                                 (1, 1, 2, 2), [(0, 0), (0, 0), (1, 1), (1, 1)])
+
+
+def resnet50_activations(params: dict, x: jnp.ndarray, layer_nums=(5, 6, 7)) -> dict:
+    """Mirror of ``NetWithActivations`` over torchvision child indices:
+    4=layer1 (1/4), 5=layer2 (1/8), 6=layer3 (1/16), 7=layer4 (1/32)."""
+    x = jax.nn.relu(batch_norm(params["bn1"], conv2d(params["conv1"], x, stride=2, padding=3)))
+    x = _max_pool_3x3_s2(x)
+    acts = {}
+    for i, layer in enumerate(params["layers"]):
+        layer_stride = _R50_LAYERS[i][3]
+        for b, blk in enumerate(layer):
+            x = _bottleneck(blk, x, layer_stride if b == 0 else 1)
+        child_idx = 4 + i
+        if child_idx in layer_nums:
+            acts[child_idx] = x
+    return acts
+
+
+def resnet50_from_torch(sd: dict) -> dict:
+    """torchvision resnet50 state dict -> param pytree."""
+    def np_(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    def bn(prefix):
+        return {"g": np_(sd[prefix + ".weight"]), "b": np_(sd[prefix + ".bias"]),
+                "mean": np_(sd[prefix + ".running_mean"]),
+                "var": np_(sd[prefix + ".running_var"])}
+
+    params = {"conv1": {"w": np_(sd["conv1.weight"])}, "bn1": bn("bn1"), "layers": []}
+    for li, (blocks, _, _, stride) in enumerate(_R50_LAYERS, start=1):
+        layer = []
+        for b in range(blocks):
+            p = f"layer{li}.{b}"
+            blk = {"conv1": {"w": np_(sd[p + ".conv1.weight"])}, "bn1": bn(p + ".bn1"),
+                   "conv2": {"w": np_(sd[p + ".conv2.weight"])}, "bn2": bn(p + ".bn2"),
+                   "conv3": {"w": np_(sd[p + ".conv3.weight"])}, "bn3": bn(p + ".bn3")}
+            if p + ".downsample.0.weight" in sd:
+                blk["down"] = {"conv": {"w": np_(sd[p + ".downsample.0.weight"])},
+                               "bn": bn(p + ".downsample.1")}
+            layer.append(blk)
+        params["layers"].append(layer)
+    return params
+
+
+# ---------------- FeaturePyramidNet ----------------
+
+@dataclasses.dataclass(frozen=True)
+class PyramidConfig:
+    granularity: int = 1
+    dim: int = 70
+    continuous: bool = True
+    layer_nums: tuple = (5, 6, 7)
+    feat_channels: tuple = (2048, 1024, 512, 3)
+    extra_channels: tuple = (128, 64, 32, 32)
+    out_size: int = 56  # the reference's hard-coded interpolation target
+
+
+def _double_conv_init(key, in_ch, out_ch, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {"conv1": conv_init(k1, in_ch, out_ch, 3, dtype), "bn1": _bn_init(out_ch),
+            "conv2": conv_init(k2, out_ch, out_ch, 3, dtype), "bn2": _bn_init(out_ch)}
+
+
+def _double_conv(p, x):
+    x = jax.nn.relu(batch_norm(p["bn1"], conv2d(p["conv1"], x, padding=1)))
+    return jax.nn.relu(batch_norm(p["bn2"], conv2d(p["conv2"], x, padding=1)))
+
+
+def pyramid_init(key: jax.Array, cfg: PyramidConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 16))
+    fc = cfg.feat_channels
+    ec = cfg.extra_channels
+    params: dict = {"cluster1": conv_init(next(keys), fc[0], cfg.dim, 1, dtype)}
+    if cfg.granularity >= 2:
+        params["conv2"] = _double_conv_init(next(keys), fc[0] + fc[1], ec[1], dtype)
+        params["cluster2"] = conv_init(next(keys), ec[1], cfg.dim, 1, dtype)
+    if cfg.granularity >= 3:
+        params["conv3"] = _double_conv_init(next(keys), ec[1] + fc[2], ec[2], dtype)
+        params["cluster3"] = conv_init(next(keys), ec[2], cfg.dim, 1, dtype)
+    if cfg.granularity >= 4:
+        params["conv4"] = _double_conv_init(next(keys), ec[2] + fc[3], ec[3], dtype)
+        params["cluster4"] = conv_init(next(keys), ec[3], cfg.dim, 1, dtype)
+    return params
+
+
+def pyramid_apply(params: dict, backbone: dict, x: jnp.ndarray, cfg: PyramidConfig):
+    """Returns (low_res_feats, clusters) like reference ``forward``
+    (``src/modules.py:732-766``)."""
+    feats = resnet50_activations(backbone, x, cfg.layer_nums)
+    feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
+    low = feats[cfg.layer_nums[-1]]
+
+    def clusterer(p, t):
+        return resize_bilinear(conv2d(p, t), cfg.out_size)[..., None]
+
+    all_clusters = [clusterer(params["cluster1"], low)]
+    if cfg.granularity >= 2:
+        up = resize_bilinear(low, (low.shape[-2] * 2, low.shape[-1] * 2))
+        f2 = _double_conv(params["conv2"],
+                          jnp.concatenate([up, feats[cfg.layer_nums[-2]]], axis=1))
+        all_clusters.append(clusterer(params["cluster2"], f2))
+    if cfg.granularity >= 3:
+        up = resize_bilinear(f2, (f2.shape[-2] * 2, f2.shape[-1] * 2))
+        f3 = _double_conv(params["conv3"],
+                          jnp.concatenate([up, feats[cfg.layer_nums[-3]]], axis=1))
+        all_clusters.append(clusterer(params["cluster3"], f3))
+    if cfg.granularity >= 4:
+        up = resize_bilinear(f3, (f3.shape[-2] * 2, f3.shape[-1] * 2))
+        img_ds = resize_bilinear(x, cfg.out_size)
+        f4 = _double_conv(params["conv4"], jnp.concatenate([up, img_ds], axis=1))
+        all_clusters.append(clusterer(params["cluster4"], f4))
+
+    avg_code = jnp.concatenate(all_clusters, axis=4).mean(axis=4)
+    clusters = avg_code if cfg.continuous else jax.nn.log_softmax(avg_code, axis=1)
+    return low, clusters

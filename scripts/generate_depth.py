@@ -1,0 +1,150 @@
+"""Generate per-image depth PNGs for a dataset with the ZoeDepth port.
+
+Mirrors reference ``generate_depth.py``: iterate a dataset (imagefolder /
+cocostuff / cityscapes / potsdam / nyuv2 / pascalvoc split), run ZoeDepth
+inference (pad + flip TTA), min-max normalize to 8-bit and save
+``{output_dir}/{parent_folder}/{stem}_{model}.png`` — the filename scheme the
+data layer consumes (``depth/{split}/{id}_zoedepth.png`` etc.).
+
+Differences by design:
+* the reference's output path handling is buggy when ``--save_features`` is
+  off (it writes next to the source image); here outputs always land under
+  ``--output_dir`` with the ``_{model}`` suffix;
+* ``--model midas`` uses the same DPT-BEiT-L relative-depth head (the
+  reference downloads a separate DPT_Large via torch.hub, impossible without
+  egress); output is min-max normalized and inverted as in the reference;
+* weights: pass ``--weights /path/to/ZoeD_M12_N.pt`` (zero-egress: no
+  download). Without weights the script refuses unless ``--allow_random``.
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("Depth", add_help=False)
+    p.add_argument("--model", default="zoedepth", choices=["zoedepth", "midas"])
+    p.add_argument("--data_dir", default="")
+    p.add_argument("--dataset", default="imagefolder",
+                   choices=["cocostuff", "potsdam", "cityscapes", "imagefolder",
+                            "nyuv2", "pascalvoc"])
+    p.add_argument("--split", default="val")
+    p.add_argument("--output_dir", default="")
+    p.add_argument("--save_features", action="store_true")
+    p.add_argument("--weights", default=None, help="path to ZoeD_M12_N.pt")
+    p.add_argument("--allow_random", action="store_true",
+                   help="run with random weights (smoke testing only)")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    return p
+
+
+def iter_images(args):
+    """Yield (pil_image, source_path) pairs for the chosen dataset."""
+    from depthg_tpu.data import datasets as D
+    from depthg_tpu.data.transforms import RawTransform
+
+    raw = RawTransform(is_label=False)
+    rawl = RawTransform(is_label=True)
+    if args.dataset == "imagefolder":
+        root = args.data_dir
+        for sub in sorted(os.listdir(root)):
+            subp = os.path.join(root, sub)
+            if not os.path.isdir(subp):
+                continue
+            for fn in sorted(os.listdir(subp)):
+                yield Image.open(os.path.join(subp, fn)).convert("RGB"), os.path.join(subp, fn)
+        return
+    if args.dataset == "potsdam":
+        ds = D.Potsdam(args.data_dir, args.split, raw, rawl, coarse_labels=False)
+    elif args.dataset == "cityscapes":
+        ds = D.CityscapesSeg(args.data_dir, args.split, raw, rawl)
+    elif args.dataset == "cocostuff":
+        ds = D.Coco(args.data_dir, args.split, raw, rawl,
+                    coarse_labels=False, exclude_things=False)
+    elif args.dataset == "nyuv2":
+        ds = D.NYUv2(args.data_dir, args.split, raw, rawl)
+    elif args.dataset == "pascalvoc":
+        ds = D.PascalVOC(args.data_dir, args.split, raw, rawl)
+    else:
+        raise NotImplementedError(args.dataset)
+    for i in range(len(ds)):
+        path = ds.filepaths[i]
+        yield Image.open(path).convert("RGB") if os.path.exists(str(path)) else None, str(path)
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from depthg_tpu.models.zoedepth import ZoeConfig, zoedepth_infer, zoedepth_init
+    from depthg_tpu.models.zoedepth.convert import load_zoedepth_pt
+    from depthg_tpu.utils.ckpt import to_jax
+
+    cfg = ZoeConfig()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.weights and os.path.exists(args.weights):
+        params = to_jax(load_zoedepth_pt(args.weights), dtype=dtype)
+    elif args.allow_random:
+        print("WARNING: running with RANDOM ZoeDepth weights (smoke test only).")
+        params = zoedepth_init(jax.random.PRNGKey(0), cfg, dtype)
+    else:
+        raise SystemExit("No --weights given (this environment cannot download "
+                         "ZoeD_M12_N.pt). Pass --weights or --allow_random.")
+
+    @jax.jit
+    def infer(p, x):
+        depth, feats = zoedepth_infer(p, x.astype(dtype), cfg, return_feats=True)
+        return depth.astype(jnp.float32), feats.astype(jnp.float32)
+
+    out_root = Path(args.output_dir)
+    n = 0
+    for pil, src in iter_images(args):
+        if pil is None:
+            continue
+        # bucket input sizes (aspect-preserving, long side <= 512, /32) so the
+        # jit cache stays small on heterogeneous datasets; depth is resized
+        # back to the source resolution before saving
+        ow, oh = pil.size
+        scale = min(1.0, 512 / max(ow, oh))
+        bw = max(32, int(round(ow * scale / 32)) * 32)
+        bh = max(32, int(round(oh * scale / 32)) * 32)
+        x = np.asarray(pil.resize((bw, bh), Image.BILINEAR),
+                       np.float32).transpose(2, 0, 1)[None] / 255.0
+        depth, feats = infer(params, jnp.asarray(x))
+        depth = np.asarray(depth)[0, 0]
+        if (bh, bw) != (oh, ow):
+            depth = np.asarray(Image.fromarray(depth, mode="F").resize((ow, oh), Image.BILINEAR))
+
+        if args.model == "midas":
+            depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-12)
+            depth = 1.0 - depth
+        else:
+            depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-12)
+
+        src_path = Path(src)
+        folder = out_root / src_path.parent.name
+        folder.mkdir(parents=True, exist_ok=True)
+        out_png = folder / f"{src_path.stem}_{args.model}.png"
+        Image.fromarray((depth * 255).astype(np.uint8)).save(out_png)
+
+        if args.save_features:
+            np.save(folder / f"{src_path.stem}_feats.npy", np.asarray(feats)[0])
+        n += 1
+        if n % 50 == 0:
+            print(f"{n} depth maps written", flush=True)
+    print(f"done: {n} depth maps -> {out_root}")
+
+
+if __name__ == "__main__":
+    parser = get_args_parser()
+    args = parser.parse_args()
+    if args.output_dir:
+        Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    main(args)
