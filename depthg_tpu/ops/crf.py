@@ -46,6 +46,11 @@ class CRFConfig:
     bi_rgb_std: float = 3.0  # Bi_RGB_STD
     downsample: int = 2      # spatial reduction for the bilateral N^2 pass
     block: int = 1024        # row-block size for the dense bilateral message
+    # fused Pallas kernel for the bilateral message (ops.crf_pallas): the
+    # kernel matrix never touches HBM. Off by default: Mosaic compilation
+    # does not currently complete through this environment's remote-compile
+    # tunnel (works in interpret mode / standard TPU runtimes).
+    use_pallas: bool = False
 
 
 @functools.lru_cache(maxsize=None)
@@ -65,11 +70,17 @@ def _gaussian_filter(q: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return jnp.einsum("ij,cwj->cwi", gw, q)
 
 
-def _bilateral_message(feats: jnp.ndarray, values: jnp.ndarray, block: int) -> jnp.ndarray:
+def _bilateral_message(feats: jnp.ndarray, values: jnp.ndarray, block: int,
+                       use_pallas: bool = False) -> jnp.ndarray:
     """K @ values with k_ij = exp(-||f_i - f_j||^2 / 2), blockwise.
 
     feats: [N, F] (already divided by their sigmas), values: [N, C].
     """
+    if use_pallas:
+        from depthg_tpu.ops.crf_pallas import bilateral_message_pallas, pallas_supported
+
+        if pallas_supported(feats.shape[0], values.shape[1]):
+            return bilateral_message_pallas(feats, values)
     n, f = feats.shape
     c = values.shape[1]
     pad = (-n) % block
@@ -132,7 +143,7 @@ def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConf
 
     bf = _bilateral_features(image_d, ccfg, ds)
     ones = jnp.ones((hd * wd, 1), jnp.float32)
-    deg_bi = _bilateral_message(bf, ones, ccfg.block)[:, 0]
+    deg_bi = _bilateral_message(bf, ones, ccfg.block, ccfg.use_pallas)[:, 0]
     inv_sqrt_deg_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
 
     gauss_sigma = ccfg.pos_xy_std / ds
@@ -144,7 +155,8 @@ def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConf
         mg = _gaussian_filter(q * inv_sqrt_deg_g[None], gauss_sigma) * inv_sqrt_deg_g[None]
         # bilateral (appearance) message
         z = (q.reshape(c, -1) * inv_sqrt_deg_bi[None]).T  # [N, C]
-        mb = (_bilateral_message(bf, z, ccfg.block).T * inv_sqrt_deg_bi[None]).reshape(c, hd, wd)
+        mb = (_bilateral_message(bf, z, ccfg.block, ccfg.use_pallas).T
+              * inv_sqrt_deg_bi[None]).reshape(c, hd, wd)
         return jax.nn.softmax(log_unary + ccfg.pos_w * mg + ccfg.bi_w * mb, axis=0)
 
     q = jax.lax.fori_loop(0, ccfg.max_iter, mf_iter, probs_d)
