@@ -33,8 +33,10 @@ def main():
     from depthg_tpu.utils.metrics import confusion_update
 
     fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=70)
+    # mixed-resolution CRF at ds=4: >=99.5% label agreement with the native
+    # permutohedral lattice (tests/test_native_crf.py) at a fraction of the cost
     ecfg = EvalConfig(n_classes=27, run_crf=True, label_res=320,
-                      crf=CRFConfig(downsample=2))
+                      crf=CRFConfig(downsample=4, mixed_resolution=True))
 
     key = jax.random.PRNGKey(0)
     net = featurizer_init(key, fcfg)

@@ -46,6 +46,12 @@ class CRFConfig:
     bi_rgb_std: float = 3.0  # Bi_RGB_STD
     downsample: int = 2      # spatial reduction for the bilateral N^2 pass
     block: int = 1024        # row-block size for the dense bilateral message
+    # mixed-resolution mode: run the mean field (unary + exact separable
+    # Gaussian) at FULL resolution and only the O(N^2) bilateral message at
+    # the downsampled resolution (sxy=67 makes it spatially smooth, so the
+    # coarse approximation is nearly exact while the sxy=1 Gaussian keeps its
+    # full sharpness). False = legacy: everything at the coarse resolution.
+    mixed_resolution: bool = True
     # fused Pallas kernel for the bilateral message (ops.crf_pallas): the
     # kernel matrix never touches HBM. Off by default: Mosaic compilation
     # does not currently complete through this environment's remote-compile
@@ -129,34 +135,49 @@ def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConf
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=0)
 
     ds = ccfg.downsample
+    mixed = ccfg.mixed_resolution and ds > 1
+    hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
     if ds > 1:
-        hd, wd = h // ds, w // ds
-        # average-pool unary and guidance to the working resolution
-        probs_d = resize_bilinear(probs[None], (hd, wd))[0]
         image_d = resize_bilinear(image[None].astype(jnp.float32), (hd, wd))[0]
     else:
-        hd, wd = h, w
-        probs_d = probs
         image_d = image.astype(jnp.float32)
 
-    log_unary = jnp.log(jnp.maximum(probs_d, 1e-20))
-
+    # bilateral (appearance) kernel state at the coarse working resolution
     bf = _bilateral_features(image_d, ccfg, ds)
     ones = jnp.ones((hd * wd, 1), jnp.float32)
     deg_bi = _bilateral_message(bf, ones, ccfg.block, ccfg.use_pallas)[:, 0]
     inv_sqrt_deg_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
 
+    def bilateral(q_coarse):
+        z = (q_coarse.reshape(c, -1) * inv_sqrt_deg_bi[None]).T  # [Nc, C]
+        mb = _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas).T
+        return (mb * inv_sqrt_deg_bi[None]).reshape(c, hd, wd)
+
+    if mixed:
+        # full-res mean field: exact separable Gaussian + upsampled bilateral
+        log_unary = jnp.log(jnp.maximum(probs, 1e-20))
+        gauss_sigma = ccfg.pos_xy_std
+        deg_g = _gaussian_filter(jnp.ones((1, h, w), jnp.float32), gauss_sigma)[0]
+        inv_sqrt_deg_g = jax.lax.rsqrt(jnp.maximum(deg_g, 1e-20))
+
+        def mf_iter(_, q):
+            mg = _gaussian_filter(q * inv_sqrt_deg_g[None], gauss_sigma) * inv_sqrt_deg_g[None]
+            q_coarse = resize_bilinear(q[None], (hd, wd))[0]
+            mb = resize_bilinear(bilateral(q_coarse)[None], (h, w))[0]
+            return jax.nn.softmax(log_unary + ccfg.pos_w * mg + ccfg.bi_w * mb, axis=0)
+
+        return jax.lax.fori_loop(0, ccfg.max_iter, mf_iter, probs)
+
+    # legacy: entire mean field at the working resolution
+    probs_d = resize_bilinear(probs[None], (hd, wd))[0] if ds > 1 else probs
+    log_unary = jnp.log(jnp.maximum(probs_d, 1e-20))
     gauss_sigma = ccfg.pos_xy_std / ds
     deg_g = _gaussian_filter(jnp.ones((1, hd, wd), jnp.float32), gauss_sigma)[0]
     inv_sqrt_deg_g = jax.lax.rsqrt(jnp.maximum(deg_g, 1e-20))
 
     def mf_iter(_, q):
-        # Gaussian (smoothness) message, symmetric normalization
         mg = _gaussian_filter(q * inv_sqrt_deg_g[None], gauss_sigma) * inv_sqrt_deg_g[None]
-        # bilateral (appearance) message
-        z = (q.reshape(c, -1) * inv_sqrt_deg_bi[None]).T  # [N, C]
-        mb = (_bilateral_message(bf, z, ccfg.block, ccfg.use_pallas).T
-              * inv_sqrt_deg_bi[None]).reshape(c, hd, wd)
+        mb = bilateral(q)
         return jax.nn.softmax(log_unary + ccfg.pos_w * mg + ccfg.bi_w * mb, axis=0)
 
     q = jax.lax.fori_loop(0, ccfg.max_iter, mf_iter, probs_d)

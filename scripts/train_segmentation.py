@@ -134,7 +134,20 @@ def main(argv=None):
     host_backbone = load_backbone(cfg, fcfg)
 
     state = step_lib.init_state(jax.random.PRNGKey(seed), fcfg, hp)
-    state["frozen"] = {"vit": to_jax(host_backbone)}
+    state["frozen"]["vit"] = to_jax(host_backbone)
+
+    start_step = 0
+    if cfg.get("resume"):
+        import pickle
+
+        with open(cfg.resume, "rb") as f:
+            blob = pickle.load(f)
+        state["params"] = to_jax(blob["params"])
+        state["opt"] = jax.tree_util.tree_map(
+            lambda a, b: jnp.asarray(b), state["opt"], blob["opt"])
+        start_step = int(blob["step"])
+        state["step"] = jnp.asarray(start_step, jnp.int32)
+        print(f"resumed from {cfg.resume} at step {start_step}")
 
     mesh = mesh_lib.make_mesh_for_batch(int(cfg.batch_size), cfg.get("n_devices"))
     multi = mesh.devices.size > 1
@@ -183,6 +196,18 @@ def main(argv=None):
         params["net"]["vit"] = host_backbone  # avoid re-fetching the backbone
         save_native(join(checkpoint_dir, tag), params, dict(cfg),
                     extra={"metrics": metrics or {}})
+        # full resumable train state (trainables + optimizer moments + step);
+        # optax NamedTuple structure survives pickling, unlike a bare orbax
+        # pytree restore
+        import pickle
+
+        resume_blob = {
+            "params": jax.device_get(state["params"]),
+            "opt": jax.device_get(state["opt"]),
+            "step": int(state["step"]),
+        }
+        with open(join(checkpoint_dir, tag + ".train_state.pkl"), "wb") as f:
+            pickle.dump(resume_blob, f)
 
     def run_validation(step_num):
         linear_m = SegMetrics("test/linear/", n_classes, 0, False)
@@ -208,7 +233,7 @@ def main(argv=None):
 
     print(f"training {cfg.dataset_name} for {cfg.max_steps} steps "
           f"(n_classes={n_classes}, mesh={mesh.devices.size} devices)")
-    step_num = 0
+    step_num = start_step
     t_last = time.time()
     pending_logs = None
     while step_num < cfg.max_steps:
