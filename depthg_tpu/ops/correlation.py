@@ -38,3 +38,21 @@ def tensor_correlation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def depth_correlation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Same contraction with C=1 (depth maps), reference ``src/modules.py:812-814``."""
     return tensor_correlation(a, b)
+
+
+def average_norm(t: jnp.ndarray) -> jnp.ndarray:
+    """Reference ``average_norm`` (``src/modules.py:793-794``): divide by the
+    mean channel-norm instead of per-position norms."""
+    norms = jnp.sqrt(jnp.sum(jnp.square(t), axis=1, keepdims=True))
+    return t / norms.mean()
+
+
+def shuffle(key, x: jnp.ndarray) -> jnp.ndarray:
+    """Reference ``shuffle`` (``src/utils.py:45-47``) with an explicit key."""
+    return x[jax.random.permutation(key, x.shape[0])]
+
+
+def one_hot_feats(labels: jnp.ndarray, n_classes: int) -> jnp.ndarray:
+    """Reference ``one_hot_feats`` (``src/utils.py:64-65``): [B,H,W] int ->
+    [B,C,H,W] float one-hot."""
+    return jax.nn.one_hot(labels, n_classes, axis=1, dtype=jnp.float32)

@@ -89,6 +89,68 @@ def farthest_point_sampling_depth(t: jnp.ndarray, depth: jnp.ndarray, n_samples:
     return jax.vmap(lambda d: _fps_coords_single(d, n_samples))(depth_small)
 
 
+def fps_depth_feats_indices(points: jnp.ndarray, feats: jnp.ndarray,
+                            n_samples: int) -> jnp.ndarray:
+    """Joint depth+feature farthest-point sampling (reference
+    ``fps_depth_feats``, ``src/modules.py:1124-1180``): per step, the point
+    and feature distances to the last pick are each max-normalized, summed,
+    min-pooled into the running distances, then argmax picks the next point.
+    (Defined-but-unused in the reference's main path; provided for parity.)
+    """
+    p = points.shape[0]
+    points = points.astype(jnp.float32)
+    feats = feats.astype(jnp.float32)
+
+    def step(carry, _):
+        dists, chosen, last = carry
+        dp = jnp.sum(jnp.square(points - points[last]), axis=-1)
+        df = jnp.sum(jnp.square(feats - feats[last]), axis=-1)
+        dp = dp / jnp.maximum(dp.max(), 1e-20)
+        df = df / jnp.maximum(df.max(), 1e-20)
+        dists = jnp.minimum(dists, dp + df)
+        nxt = jnp.argmax(jnp.where(chosen, -jnp.inf, dists))
+        return (dists, chosen.at[nxt].set(True), nxt), nxt
+
+    init = (jnp.full((p,), jnp.inf, jnp.float32),
+            jnp.zeros((p,), bool).at[0].set(True),
+            jnp.asarray(0, jnp.int32))
+    _, rest = jax.lax.scan(step, init, None, length=n_samples - 1)
+    return jnp.concatenate([jnp.zeros((1,), rest.dtype), rest])
+
+
+def knn_for_coords(feats: jnp.ndarray, coords: jnp.ndarray,
+                   samples_per_coord: int) -> jnp.ndarray:
+    """Per-anchor feature-space nearest neighbors with visited-zeroing
+    (reference ``src/modules.py:1068-1119``; defined but not called in the
+    reference's main path). feats: [B, C, H, W], coords: [B, S, S, 2] in
+    [0, 1); returns [B, S*S*(1+k), 2] anchor+neighbor coords."""
+    assert samples_per_coord > 0, "Not enough samples per coord"
+    b, c, h, w = feats.shape
+    k = samples_per_coord
+
+    def per_image(fmap, crds):
+        grid = jnp.transpose(fmap, (1, 2, 0)).reshape(-1, c)  # [HW, C]
+        flat_coords = crds.reshape(-1, 2)
+        anchor_idx = ((flat_coords[:, 0] * h).astype(jnp.int32) * w
+                      + (flat_coords[:, 1] * w).astype(jnp.int32))
+
+        def visit(grid_state, aidx):
+            anchor = grid_state[aidx]
+            d = jnp.sqrt(jnp.sum(jnp.square(grid_state - anchor), axis=-1))
+            d = jnp.where(d == 0.0, jnp.inf, d)  # reference zero->inf quirk
+            _, nn_idx = jax.lax.top_k(-d, k + 1)
+            grid_state = grid_state.at[nn_idx].set(0.0)  # zero visited feats
+            nn_sorted = jnp.sort(nn_idx)  # reference rebuilds via mask+nonzero
+            rows = (nn_sorted // w).astype(jnp.float32) / h
+            cols = (nn_sorted % w).astype(jnp.float32) / w
+            return grid_state, jnp.stack([rows, cols], axis=-1)
+
+        _, nns = jax.lax.scan(visit, grid, anchor_idx)
+        return jnp.concatenate([flat_coords, nns.reshape(-1, 2)], axis=0)
+
+    return jax.vmap(per_image)(feats, coords)
+
+
 def uniform_pixel_coords(key: jax.Array, batch: int, n_samples: int, hw) -> jnp.ndarray:
     """Device-native equivalent of ``simple_depth_informed_sampling``
     (``src/modules.py:828-883``).

@@ -155,8 +155,18 @@ def select_coords(key, lcfg: CorrLossConfig, feats, feats_pos, depth, depth_pos,
         return (uniform_pixel_coords(k1, b, s, hw) * 2 - 1,
                 uniform_pixel_coords(k2, b, s, hw) * 2 - 1)
     if lcfg.depth_sampling in ("fps", "fps_depth_feat"):
-        return (farthest_point_sampling_depth(feats, depth, s) * 2 - 1,
-                farthest_point_sampling_depth(feats_pos, depth_pos, s) * 2 - 1)
+        # "fps_depth_feat" intentionally behaves like "fps": the reference
+        # passes include_feats=True but its farthest_point_sampling_depth
+        # ignores the flag and always runs plain depth FPS
+        # (src/modules.py:999-1020). The joint sampler itself exists as
+        # ops.depth.fps_depth_feats_indices for parity with the (unused)
+        # reference fps_depth_feats.
+        # TPU: both images' FPS run as ONE batched scan (the scan is the
+        # only sequential part of the step — halving scan count matters).
+        both = farthest_point_sampling_depth(
+            jnp.concatenate([feats, feats_pos], axis=0),
+            jnp.concatenate([depth, depth_pos], axis=0), s) * 2 - 1
+        return both[: feats.shape[0]], both[feats.shape[0]:]
     return random_coords(k1, coord_shape), random_coords(k2, coord_shape)
 
 

@@ -61,6 +61,8 @@ class TrainHParams:
     lhp_weight_balance: bool = False
     lhp_original_experiment: bool = False  # experiment_name contains "lhp_original"
     lhp_propagation_strategy: str = "depth"
+    # backbone matmul precision: None = MXU default; "float32" for parity runs
+    precision: str | None = None
     # ContrastiveCRFLoss constants (crf_weight>0 path)
     crf_samples: int = 1000
     alpha: float = 0.5
@@ -92,6 +94,7 @@ def hparams_from_cfg(cfg, n_classes: int) -> TrainHParams:
         lhp_weight_balance=bool(cfg.get("lhp_weight_balance", False)),
         lhp_original_experiment="lhp_original" in str(cfg.get("experiment_name", "")),
         lhp_propagation_strategy=str(cfg.get("propagation_strategy", "depth")),
+        precision=cfg.get("matmul_precision"),
         crf_samples=int(cfg.crf_samples),
         alpha=float(cfg.alpha), beta=float(cfg.beta), gamma=float(cfg.gamma),
         w1=float(cfg.w1), w2=float(cfg.w2), shift=float(cfg.shift),
@@ -112,13 +115,15 @@ def _is_depth_arch(fcfg) -> bool:
     return isinstance(fcfg, DepthFeaturizerConfig)
 
 
-def _apply_featurizer(net_params, img, fcfg, *, depth=None, key=None, train=False):
+def _apply_featurizer(net_params, img, fcfg, *, depth=None, key=None, train=False,
+                      precision=None):
     if _is_depth_arch(fcfg):
         from depthg_tpu.models.featurizer_depth import depth_featurizer_apply
 
         return depth_featurizer_apply(net_params, img, fcfg, depth=depth,
-                                      key=key, train=train)
-    return featurizer_lib.featurizer_apply(net_params, img, fcfg, key=key, train=train)
+                                      key=key, train=train, precision=precision)
+    return featurizer_lib.featurizer_apply(net_params, img, fcfg, key=key,
+                                           train=train, precision=precision)
 
 
 def init_state(key: jax.Array, fcfg: featurizer_lib.FeaturizerConfig,
@@ -192,7 +197,8 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
     depth_pos = batch.get("depth_pos")
 
     k1, k2, k3, k3b, k4, k5 = jax.random.split(key, 6)
-    out = _apply_featurizer(net_params, img, fcfg, depth=depth, key=k1, train=True)
+    out = _apply_featurizer(net_params, img, fcfg, depth=depth, key=k1, train=True,
+                            precision=hp.precision)
     feats, code = out["feats"], out["code"]
 
     logs: dict[str, Any] = {}
@@ -209,7 +215,8 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
 
     if hp.correspondence_weight > 0:
         out_pos = _apply_featurizer(net_params, batch["img_pos"], fcfg,
-                                    depth=depth_pos, key=k2, train=True)
+                                    depth=depth_pos, key=k2, train=True,
+                                    precision=hp.precision)
         feats_pos, code_pos = out_pos["feats"], out_pos["code"]
         if hp.lhp:
             # positive side: projection-only (reference passes depth=None,
@@ -291,7 +298,7 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
 
     if hp.aug_alignment_weight > 0:
         out_aug = _apply_featurizer(net_params, batch["img_aug"], fcfg,
-                                    key=k4, train=True)
+                                    key=k4, train=True, precision=hp.precision)
         code_aug = out_aug["code"]
         coord_aug = jnp.transpose(batch["coord_aug"], (0, 3, 1, 2))
         down = resize_bilinear(coord_aug, code_aug.shape[2])

@@ -127,3 +127,37 @@ class SegMetrics:
             self.compute()
         return map_clusters(self.assignments, self.n_classes, self.extra_clusters,
                             np.asarray(clusters))
+
+    # "cherry" variants (reference ``src/utils.py:279-323``): a second stats
+    # buffer that is reset after every compute — used for per-image selection.
+    def update_cherry(self, preds, target):
+        if not hasattr(self, "cherry_stats"):
+            self.cherry_stats = np.zeros_like(self.stats)
+        self.cherry_stats += np.asarray(
+            confusion_update(jnp.asarray(preds), jnp.asarray(target),
+                             self.n_classes, self.extra_clusters))
+
+    def compute_cherry(self):
+        metrics, _ = compute_metrics(
+            getattr(self, "cherry_stats", np.zeros_like(self.stats)),
+            self.n_classes, self.extra_clusters, self.compute_hungarian, self.prefix)
+        self.cherry_stats = np.zeros_like(self.stats)
+        return metrics
+
+
+def confusion_heatmap_png(histogram: np.ndarray, path: str, cmap=None,
+                          cell: int = 12):
+    """Save a column-normalized confusion-matrix heatmap as a PNG
+    (reference ``plot_cm``, ``src/eval_segmentation.py:19-42``, without the
+    matplotlib/seaborn dependency)."""
+    from PIL import Image
+
+    hist = np.asarray(histogram, np.float64)
+    hist = hist / np.clip(hist.sum(axis=0, keepdims=True), 1, None)
+    # "Blues"-like ramp: white -> blue
+    v = hist.T  # rows = true labels, like the reference figure
+    rgb = np.stack([1 - 0.75 * v, 1 - 0.45 * v, np.ones_like(v)], axis=-1)
+    img = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+    img = np.kron(img, np.ones((cell, cell, 1), np.uint8))
+    Image.fromarray(img).save(path)
+    return path

@@ -120,6 +120,9 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
                 join(result_dir, "linear", f"{j}.png"))
         np.savez(join(result_dir, "confusion.npz"),
                  cluster=cluster_metrics.stats, linear=linear_metrics.stats)
+        from depthg_tpu.utils.metrics import confusion_heatmap_png
+
+        confusion_heatmap_png(cluster_metrics.stats, join(result_dir, "confusion.png"))
     return metrics
 
 
