@@ -69,6 +69,19 @@ def main():
     dt = (time.time() - t0) / iters
 
     img_per_sec = batch / dt
+
+    # guard against async-dispatch timing artifacts seen on tunneled runtimes:
+    # if the pipelined number is implausibly high, re-measure with a
+    # data-chained loop that forces sequential execution.
+    if img_per_sec > 2000:
+        carry = jnp.float32(0)
+        t0 = time.time()
+        for i in range(iters):
+            o1, o2 = eval_step(params, img + carry * 1e-9, label)
+            carry = (o1.sum() + o2.sum()).astype(jnp.float32)
+        float(carry)
+        dt = (time.time() - t0) / iters
+        img_per_sec = batch / dt
     print(json.dumps({
         "metric": "eval_images_per_sec_per_chip_cocostuff27_320px_crf",
         "value": round(img_per_sec, 2),

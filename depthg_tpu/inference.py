@@ -77,10 +77,16 @@ def predictions(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
     return linear_preds.astype(jnp.int32), cluster_preds.astype(jnp.int32)
 
 
-def make_eval_step(fcfg, ecfg: EvalConfig):
-    """Jitted: (params, img, label) -> (linear_stats, cluster_stats) confusion blocks."""
+def make_eval_step(fcfg, ecfg: EvalConfig, mesh=None):
+    """Jitted: (params, img, label) -> (linear_stats, cluster_stats) confusion blocks.
 
-    @jax.jit
+    With a ``mesh``, the batch shards across devices and the psum-equivalent
+    reduction happens inside XLA (the confusion matrices are summed over the
+    batch axis, so the output is already globally correct) — the TPU
+    replacement for the reference's DataParallel eval
+    (``src/eval_segmentation.py:116``).
+    """
+
     def step(params, img, label):
         linear_preds, cluster_preds = predictions(params, img, fcfg, ecfg)
         lin_stats = confusion_update(linear_preds, label, ecfg.n_classes, 0)
@@ -88,7 +94,15 @@ def make_eval_step(fcfg, ecfg: EvalConfig):
                                      ecfg.extra_clusters)
         return lin_stats, clu_stats
 
-    return step
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(step, in_shardings=(rep, data, data),
+                   out_shardings=(rep, rep))
 
 
 def make_predict_step(fcfg, ecfg: EvalConfig):

@@ -64,7 +64,10 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
         crf=CRFConfig(downsample=int(cfg.get("crf_downsample", 2))),
         precision=cfg.get("matmul_precision"),
     )
-    eval_step = make_eval_step(fcfg, ecfg)
+    from depthg_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh_for_batch(int(cfg.batch_size) * 2, cfg.get("n_devices"))
+    eval_step = make_eval_step(fcfg, ecfg, mesh)
 
     linear_metrics = SegMetrics("final/linear/", n_classes, 0, False)
     cluster_metrics = SegMetrics("final/cluster/", n_classes, extra_clusters, True)
@@ -72,12 +75,18 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
     t0 = time.time()
     n_images = 0
     pending = []
+    full_bs = cfg.batch_size * 2
     for batch in loader:
         img = batch["img"].astype(np.float32)
         label = batch["label"]
+        pad = full_bs - img.shape[0]
+        if pad:  # fixed jit bucket + mesh divisibility; -1 labels are masked out
+            img = np.concatenate([img, np.zeros((pad, *img.shape[1:]), np.float32)])
+            label = np.concatenate([label, np.full((pad, *label.shape[1:]), -1,
+                                                   label.dtype)])
         lin_stats, clu_stats = eval_step(params, img, label)
         pending.append((lin_stats, clu_stats))
-        n_images += img.shape[0]
+        n_images += img.shape[0] - pad
         if len(pending) >= 8:  # drain without stalling the device queue
             for ls, cs in pending:
                 linear_metrics.add_stats(ls)

@@ -1,0 +1,37 @@
+"""Sharded eval step: 8-device mesh result == single-device result."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from depthg_tpu.inference import EvalConfig, make_eval_step
+from depthg_tpu.models.featurizer import FeaturizerConfig, featurizer_init
+from depthg_tpu.models.probes import cluster_lookup_init, linear_probe_init
+from depthg_tpu.models.vit import ViTConfig
+from depthg_tpu.ops.crf import CRFConfig
+from depthg_tpu.parallel import mesh as mesh_lib
+
+
+def test_sharded_eval_matches_single_device():
+    tiny = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, img_size=32)
+    fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=16, vit_config=tiny)
+    ecfg = EvalConfig(n_classes=5, run_crf=True, label_res=32,
+                      crf=CRFConfig(downsample=2, block=256))
+    key = jax.random.PRNGKey(0)
+    params = {"net": featurizer_init(key, fcfg),
+              "linear_probe": linear_probe_init(key, 16, 5),
+              "cluster_probe": cluster_lookup_init(key, 16, 5)}
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((8, 3, 32, 32)).astype(np.float32))
+    label = jnp.asarray(rng.integers(-1, 5, size=(8, 32, 32)))
+
+    single = make_eval_step(fcfg, ecfg, mesh=None)
+    l1, c1 = single(params, img, label)
+
+    mesh = mesh_lib.make_mesh(8)
+    sharded = make_eval_step(fcfg, ecfg, mesh=mesh)
+    l8, c8 = sharded(params, img, label)
+
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
