@@ -278,6 +278,12 @@ def depth_contrastive_correlation_loss(key: jax.Array, lcfg: CorrLossConfig,
     }
 
 
+def intra_depth_feature_diversity_loss(feats, depth):
+    """Reference ``IntraDepthFeatureDiversityLoss`` (``src/modules.py:1466-1471``)
+    is an empty stub (forward returns None); mirrored for inventory parity."""
+    return None
+
+
 def contrastive_crf_loss(key: jax.Array, guidance, clusters, n_samples: int,
                          alpha: float, beta: float, gamma: float,
                          w1: float, w2: float, shift: float):
