@@ -101,6 +101,11 @@ def _patchify(x: jnp.ndarray, ps: int) -> jnp.ndarray:
 
 
 def interpolate_pos_encoding(pos_embed: jnp.ndarray, npatch: int, w: int, h: int, ps: int) -> jnp.ndarray:
+    """Bicubic pos-embed resize for arbitrary input (reference
+    ``vision_transformer.py:179-199``). The reference swaps the names w/h
+    twice (prepare_tokens unpacks B,nc,w,h), which cancels out: the H axis is
+    scaled by the H-derived factor. ``w``/``h`` here are the true image width
+    and height; only the +0.1 fudge quirk remains."""
     n = pos_embed.shape[1] - 1
     if npatch == n and w == h:
         return pos_embed
@@ -108,10 +113,9 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, npatch: int, w: int, h: int
     side = int(math.sqrt(n))
     cls_pos = pos_embed[:, :1]
     patch_pos = pos_embed[:, 1:].reshape(1, side, side, dim).transpose(0, 3, 1, 2)
-    # reference quirk: +0.1 fudge, and the H axis uses the *width* scale factor
-    w0 = w // ps + 0.1
     h0 = h // ps + 0.1
-    sf = (w0 / side, h0 / side)
+    w0 = w // ps + 0.1
+    sf = (h0 / side, w0 / side)  # (H-axis, W-axis) scale factors
     out_hw = (int(side * sf[0]), int(side * sf[1]))
     patch_pos = resize_bicubic(patch_pos, out_hw, scale=sf)
     patch_pos = patch_pos.transpose(0, 2, 3, 1).reshape(1, -1, dim)

@@ -99,10 +99,17 @@ def log_binomial(probs, t, n_classes, eps=1e-4):
     x = jnp.clip(probs, eps, 1.0)
     one_minus = jnp.clip(1.0 - probs, eps, 1.0)
 
-    def log_binom(n, r):
-        n = n + eps
-        r = r + eps
-        return n * jnp.log(n) - r * jnp.log(r) - (n - r) * jnp.log(n - r + eps)
+    def log_binom(n, r, leps=1e-7):
+        # the reference's stirling log-nCk uses its own eps=1e-7
+        # (dist_layers.py log_binom default), independent of the clamp eps.
+        # The log argument is clamped from below: XLA reassociates
+        # (n+eps)-(r+eps)+eps and cancels the epsilon, turning log(eps) into
+        # log(0) = -inf and the k = K-1 term into 0 * -inf = NaN under jit.
+        # Since r <= n the clamp never changes the torch value.
+        n = n + leps
+        r = r + leps
+        return (n * jnp.log(n) - r * jnp.log(r)
+                - (n - r) * jnp.log(jnp.maximum(n - r + leps, leps)))
 
     y = log_binom(jnp.full_like(k, big_k), k) + k * jnp.log(x) \
         + (big_k - k) * jnp.log(one_minus)

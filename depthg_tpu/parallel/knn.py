@@ -64,23 +64,26 @@ def topk_neighbors(feats, k: int = 30, chunk: int = 1024, mesh=None) -> np.ndarr
                        in_shardings=(NamedSharding(mesh, P()),),
                        out_shardings=NamedSharding(mesh, P("data")))
     def sharded(keys):
-        def per_shard(qs):
-            return _topk_inner(qs, keys, k, chunk)
         queries = jax.lax.with_sharding_constraint(
             keys, NamedSharding(mesh, P("data")))
-        return per_shard(queries)
+        return _topk_inner(queries, keys, k, chunk, valid_n=n)
 
     idx = sharded(padded)
     return np.asarray(idx)[:n]
 
 
-def _topk_inner(queries, keys, k, chunk):
+def _topk_inner(queries, keys, k, chunk, valid_n=None):
     nq, c = queries.shape
     pad = (-nq) % chunk
     q = jnp.pad(queries, ((0, pad), (0, 0))).reshape(-1, chunk, c)
 
     def one_chunk(qb):
         sims = jnp.einsum("qc,nc->qn", qb, keys, preferred_element_type=jnp.float32)
+        if valid_n is not None and valid_n < keys.shape[0]:
+            # zero-padded key rows must never win the top-k (their cosine sim
+            # of exactly 0 outranks negative real similarities)
+            col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+            sims = jnp.where(col >= valid_n, -jnp.inf, sims)
         _, idx = jax.lax.top_k(sims, k)
         return idx
 

@@ -92,12 +92,18 @@ def sampling_schedule(dcfg: DecayConfig, step: int) -> tuple[str, int]:
             if samples < dcfg.fps_min_samples:
                 samples = dcfg.fps_min_samples
 
-    # fps_until_step check happens before the sample decay in-step, but its
-    # effect (overwriting both mode and samples) also lands on the next step;
-    # once past the threshold it pins both values.
+    # fps_until_step: the reference overwrites (mode, samples) at the END of
+    # every step >= until, and the sample decay (if enabled) then re-decays
+    # the overwritten value on its event steps — so the step after a decay
+    # event trains with int(post * factor) samples
+    # (``src/train_segmentation.py:361-375``).
     if dcfg.fps_until_step > 0 and step > dcfg.fps_until_step:
         mode = "none"
         samples = dcfg.post_fps_samples
+        if dcfg.fps_sample_decay and (step - 1) % dcfg.fps_sample_decay_every_steps == 0:
+            samples = int(samples * dcfg.fps_sample_decay_factor)
+            if samples < dcfg.fps_min_samples:
+                samples = dcfg.fps_min_samples
     return mode, samples
 
 

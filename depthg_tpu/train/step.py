@@ -268,11 +268,13 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
             corr_total = corr_total + depth_feat_weight * df
 
         if hp.lhp:
-            # balance/zeroing semantics: src/train_segmentation.py:325-344
+            # balance/zeroing semantics: src/train_segmentation.py:325-344;
+            # the lhp_original zeroing only exists inside the depth-feat
+            # branch in the reference (line 336-338)
             balance = hp.lhp_weight if (has_df and hp.lhp_weight_balance) else 0.0
             lhp_weight = hp.lhp_weight
             main_scale = hp.correspondence_weight - balance if has_df else hp.correspondence_weight
-            if hp.lhp_original_experiment:
+            if hp.lhp_original_experiment and has_df:
                 main_scale = 0.0
                 lhp_weight = 1.0
             loss = loss + corr_total * main_scale

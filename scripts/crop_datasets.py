@@ -55,7 +55,12 @@ def to_uint8_img(img_chw: np.ndarray) -> np.ndarray:
 
 
 def process_dataset(cfg, dataset_name, img_set, crop_type, crop_ratio, depth_type):
-    if depth_type == "gt" and dataset_name == "nyuv2":
+    # directory naming matches CroppedDataset's reader (data/datasets.py):
+    # gt depth for nyuv2/potsdam and zoedepth for non-nyuv2 use the
+    # suffix-less directory. (The reference writer suffixes potsdam-gt while
+    # its own reader does not, src/crop_datasets.py:88-100 vs src/data.py:825-827
+    # — aligned here so the repo's crop->train round trip works.)
+    if depth_type == "gt" and dataset_name in ("nyuv2", "potsdam"):
         save_dir = join(cfg.data_dir, "cropped", f"{dataset_name}_{crop_type}_crop_{crop_ratio}")
     elif depth_type == "zoedepth" and dataset_name != "nyuv2":
         save_dir = join(cfg.data_dir, "cropped", f"{dataset_name}_{crop_type}_crop_{crop_ratio}")

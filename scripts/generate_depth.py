@@ -46,7 +46,13 @@ def get_args_parser():
 
 
 def iter_images(args):
-    """Yield (pil_image, source_path) pairs for the chosen dataset."""
+    """Yield (pil_image, naming_path) pairs for the chosen dataset.
+
+    Non-imagefolder datasets are read through their own ``__getitem__`` (the
+    reference wraps them in a DataLoader too) — Potsdam images live in .mat
+    files and NYUv2 filepaths are bare names, so opening ``filepaths``
+    directly would yield nothing; ``filepaths`` is used only for naming.
+    """
     from depthg_tpu.data import datasets as D
     from depthg_tpu.data.transforms import RawTransform
 
@@ -74,9 +80,13 @@ def iter_images(args):
         ds = D.PascalVOC(args.data_dir, args.split, raw, rawl)
     else:
         raise NotImplementedError(args.dataset)
+    rng = np.random.default_rng(0)
     for i in range(len(ds)):
-        path = ds.filepaths[i]
-        yield Image.open(path).convert("RGB") if os.path.exists(str(path)) else None, str(path)
+        item = ds.__getitem__(i, rng)
+        arr = item["img"]  # [3, H, W] float in [0, 1] (RawTransform: no normalize)
+        pil = Image.fromarray(
+            np.clip(arr.transpose(1, 2, 0) * 255, 0, 255).astype(np.uint8))
+        yield pil, str(ds.filepaths[i])
 
 
 def main(args):

@@ -149,3 +149,17 @@ def test_decay_schedules_reference_timing():
     dcfg3 = decay.DecayConfig(fps_until_step=100, post_fps_samples=7, feature_samples=11)
     assert decay.sampling_schedule(dcfg3, 100) == ("fps", 11)
     assert decay.sampling_schedule(dcfg3, 101) == ("none", 7)
+
+
+def test_fps_until_step_interacts_with_sample_decay():
+    # reference: past fps_until_step, the overwrite to post_fps_samples is
+    # re-decayed on decay-event steps (train_segmentation.py:361-375)
+    dcfg = decay.DecayConfig(fps_until_step=100, post_fps_samples=11,
+                             fps_sample_decay=True,
+                             fps_sample_decay_every_steps=50,
+                             fps_sample_decay_factor=0.9, fps_min_samples=2,
+                             feature_samples=11)
+    assert decay.sampling_schedule(dcfg, 120) == ("none", 11)
+    # event fired at end of step 150 -> step 151 uses int(11*0.9)=9
+    assert decay.sampling_schedule(dcfg, 151) == ("none", 9)
+    assert decay.sampling_schedule(dcfg, 152) == ("none", 11)

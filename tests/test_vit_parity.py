@@ -37,11 +37,12 @@ def _make_pair(img_size, patch_size=8):
     return tmodel, params, cfg
 
 
-@pytest.mark.parametrize("train_size,run_size", [(64, 64), (64, 96)])
+@pytest.mark.parametrize("train_size,run_size", [(64, (64, 64)), (64, (96, 96)),
+                                                 (64, (64, 96)), (64, (96, 64))])
 def test_get_intermediate_feat_parity(train_size, run_size):
     tmodel, params, cfg = _make_pair(train_size)
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((2, 3, run_size, run_size)).astype(np.float32)
+    x = rng.standard_normal((2, 3, *run_size)).astype(np.float32)
 
     with torch.no_grad():
         tf, ta, tq = tmodel.get_intermediate_feat(torch.from_numpy(x), n=1)
