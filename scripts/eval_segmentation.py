@@ -63,6 +63,7 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
         run_crf=bool(cfg.run_crf), label_res=int(cfg.res),
         crf=CRFConfig(downsample=int(cfg.get("crf_downsample", 2))),
         precision=cfg.get("matmul_precision"),
+        backbone_dtype=str(cfg.get("backbone_dtype", "float32")),
     )
     from depthg_tpu.parallel import mesh as mesh_lib
 
