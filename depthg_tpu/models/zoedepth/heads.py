@@ -50,7 +50,16 @@ def inv_attractor(dx, alpha, gamma):
 
 def attractor_softplus(p, x, b_prev, prev_b_embedding, *, alpha, gamma, kind,
                        attractor_type):
-    """AttractorLayerUnnormed forward (``attractor.py:164-211``)."""
+    """AttractorLayerUnnormed forward (``attractor.py:164-211``).
+
+    Reference quirk preserved: the layer calls its jit-scripted
+    ``exp_attractor``/``inv_attractor`` WITHOUT passing ``self.alpha``/
+    ``self.gamma`` (``attractor.py:193-196``), so the script defaults
+    (alpha=300, gamma=2) always apply and the configured attractor_alpha
+    (1000 in the ZoeDepth config) is silently ignored. The ``alpha``/``gamma``
+    arguments here are accepted for API parity but unused, like the torch
+    module's attributes."""
+    del alpha, gamma  # see docstring — the reference never uses them
     if prev_b_embedding is not None:
         prev_b_embedding = resize_bilinear(prev_b_embedding, x.shape[-2:],
                                            align_corners=True)
@@ -59,7 +68,7 @@ def attractor_softplus(p, x, b_prev, prev_b_embedding, *, alpha, gamma, kind,
     b_centers = resize_bilinear(b_prev, a.shape[-2:], align_corners=True)
     dist = exp_attractor if attractor_type == "exp" else inv_attractor
     dx = a[:, :, None] - b_centers[:, None]  # [B, n_attr, n_bins, H, W]
-    delta = dist(dx, alpha, gamma)
+    delta = dist(dx, 300.0, 2)
     delta = delta.mean(axis=1) if kind == "mean" else delta.sum(axis=1)
     b_new = b_centers + delta
     return b_new, b_new
@@ -69,9 +78,12 @@ def attractor_normed(p, x, b_prev, prev_b_embedding, *, alpha, gamma, kind,
                      attractor_type, min_depth, max_depth):
     """AttractorLayer forward (``attractor.py:85-136``) — bounded bin centers.
 
-    Reference quirk preserved: ``A_normed`` is assigned the UNnormalized
-    channel 0 (``attractor.py:107-108`` overwrites the normalized version).
+    Reference quirks preserved: ``A_normed`` is assigned the UNnormalized
+    channel 0 (``attractor.py:107-108`` overwrites the normalized version),
+    and the jit-scripted dist functions are called without alpha/gamma so the
+    script defaults (300, 2) always apply (see ``attractor_softplus``).
     """
+    del alpha, gamma
     if prev_b_embedding is not None:
         prev_b_embedding = resize_bilinear(prev_b_embedding, x.shape[-2:],
                                            align_corners=True)
@@ -83,7 +95,7 @@ def attractor_normed(p, x, b_prev, prev_b_embedding, *, alpha, gamma, kind,
     b_centers = resize_bilinear(b_prev, (h, w), align_corners=True)
     dist = exp_attractor if attractor_type == "exp" else inv_attractor
     dx = a_normed[:, :, None] - b_centers[:, None]
-    delta = dist(dx, alpha, gamma)
+    delta = dist(dx, 300.0, 2)
     delta = delta.mean(axis=1) if kind == "mean" else delta.sum(axis=1)
     b_new = b_centers + delta
     centers = (max_depth - min_depth) * b_new + min_depth
