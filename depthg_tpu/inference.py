@@ -48,9 +48,9 @@ def unnormalize_255(img: jnp.ndarray) -> jnp.ndarray:
 
 def tta_code(params: dict, img: jnp.ndarray, fcfg, precision=None) -> jnp.ndarray:
     """Flip-TTA averaged projection code (reference ``eval_segmentation.py:150-152``)."""
-    code1 = featurizer_lib.featurizer_apply(params, img, fcfg, precision=precision)["code"]
-    code2 = featurizer_lib.featurizer_apply(params, img[..., ::-1], fcfg,
-                                            precision=precision)["code"]
+    code1 = featurizer_lib.dispatch_apply(params, img, fcfg, precision=precision)["code"]
+    code2 = featurizer_lib.dispatch_apply(params, img[..., ::-1], fcfg,
+                                          precision=precision)["code"]
     return (code1 + code2[..., ::-1]) / 2
 
 
@@ -129,7 +129,7 @@ def make_validation_step(fcfg, n_classes: int, extra_clusters: int = 0):
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def step(params, img, label, label_res):
-        out = featurizer_lib.featurizer_apply(params["net"], img, fcfg)
+        out = featurizer_lib.dispatch_apply(params["net"], img, fcfg)
         code = resize_bilinear(out["code"], (label_res, label_res))
         linear_preds = jnp.argmax(probes.linear_probe_apply(params["linear_probe"], code), 1)
         _, cluster_probs = probes.cluster_lookup_apply(params["cluster_probe"], code, None)

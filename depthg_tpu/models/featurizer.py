@@ -113,12 +113,8 @@ def project(params: dict, image_feat: jnp.ndarray, fcfg: FeaturizerConfig,
     """cluster1(drop(x)) [+ cluster2(drop(x))] with independent dropout masks."""
     if fcfg.projection_type is None:
         return image_feat
-    enabled = train
-    if key is None:
-        enabled = False
-        k1 = k2 = None
-    else:
-        k1, k2 = jax.random.split(key)
+    enabled = train and key is not None
+    k1, k2 = jax.random.split(key) if key is not None else (None, None)
     code = conv1x1(params["cluster1"], dropout2d(k1, image_feat, fcfg.drop_rate, enabled))
     if fcfg.projection_type == "nonlinear":
         h = dropout2d(k2, image_feat, fcfg.drop_rate, enabled)
@@ -126,6 +122,25 @@ def project(params: dict, image_feat: jnp.ndarray, fcfg: FeaturizerConfig,
         h = jax.nn.relu(h)
         code = code + conv1x1(params["cluster2"]["fc2"], h)
     return code
+
+
+def dispatch_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
+                   depth=None, key: jax.Array | None = None, train: bool = False,
+                   precision: str | None = None):
+    """Arch-aware featurizer apply: routes DepthFeaturizerConfig to the
+    depth-fused forward (its eval path uses the no-depth embed), everything
+    else to the plain featurizer. The single dispatch point for train,
+    validation and TTA eval."""
+    from depthg_tpu.models.featurizer_depth import (
+        DepthFeaturizerConfig,
+        depth_featurizer_apply,
+    )
+
+    if isinstance(fcfg, DepthFeaturizerConfig):
+        return depth_featurizer_apply(params, img, fcfg, depth=depth, key=key,
+                                      train=train, precision=precision)
+    return featurizer_apply(params, img, fcfg, key=key, train=train,
+                            precision=precision)
 
 
 def featurizer_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,

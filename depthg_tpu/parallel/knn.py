@@ -33,17 +33,7 @@ def pooled_features(featurizer_params, img, fcfg, precision=None):
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _topk_chunked(feats: jnp.ndarray, k: int, chunk: int):
     """[N, C] normalized -> [N, k] nearest-neighbor indices (self included)."""
-    n, c = feats.shape
-    pad = (-n) % chunk
-    queries = jnp.pad(feats, ((0, pad), (0, 0))).reshape(-1, chunk, c)
-
-    def one_chunk(q):
-        sims = jnp.einsum("qc,nc->qn", q, feats, preferred_element_type=jnp.float32)
-        _, idx = jax.lax.top_k(sims, k)
-        return idx
-
-    idx = jax.lax.map(one_chunk, queries)
-    return idx.reshape(-1, k)[:n]
+    return _topk_inner(feats, feats, k, chunk)
 
 
 def topk_neighbors(feats, k: int = 30, chunk: int = 1024, mesh=None) -> np.ndarray:

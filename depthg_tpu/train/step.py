@@ -115,15 +115,7 @@ def _is_depth_arch(fcfg) -> bool:
     return isinstance(fcfg, DepthFeaturizerConfig)
 
 
-def _apply_featurizer(net_params, img, fcfg, *, depth=None, key=None, train=False,
-                      precision=None):
-    if _is_depth_arch(fcfg):
-        from depthg_tpu.models.featurizer_depth import depth_featurizer_apply
-
-        return depth_featurizer_apply(net_params, img, fcfg, depth=depth,
-                                      key=key, train=train, precision=precision)
-    return featurizer_lib.featurizer_apply(net_params, img, fcfg, key=key,
-                                           train=train, precision=precision)
+_apply_featurizer = featurizer_lib.dispatch_apply
 
 
 def init_state(key: jax.Array, fcfg: featurizer_lib.FeaturizerConfig,

@@ -13,7 +13,10 @@ from depthg_tpu.utils import ckpt as torch_ckpt
 
 
 def fcfg_from_run_cfg(cfg) -> FeaturizerConfig:
-    return FeaturizerConfig(
+    """Arch-aware featurizer config: ``arch=dino_depth`` checkpoints must
+    evaluate through the depth-fused forward (its eval path uses the learned
+    no-depth embedding), so the returned config type carries the dispatch."""
+    kwargs = dict(
         arch=cfg.get("model_type", "vit_small"),
         patch_size=int(cfg.get("dino_patch_size", 8)),
         feat_type=cfg.get("dino_feat_type", "feat"),
@@ -21,6 +24,12 @@ def fcfg_from_run_cfg(cfg) -> FeaturizerConfig:
         dim=int(cfg.get("dim", 70)),
         dropout=bool(cfg.get("dropout", True)),
     )
+    if cfg.get("arch") == "dino_depth":
+        from depthg_tpu.models.featurizer_depth import DepthFeaturizerConfig
+
+        return DepthFeaturizerConfig(guidance=str(cfg.get("guidance", "none")),
+                                     **kwargs)
+    return FeaturizerConfig(**kwargs)
 
 
 def load_segmenter(path: str):

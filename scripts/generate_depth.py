@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from PIL import Image
 
+from depthg_tpu.data.transforms import image_to_array as _image_to_array
+
 
 def get_args_parser():
     p = argparse.ArgumentParser("Depth", add_help=False)
@@ -125,8 +127,7 @@ def main(args):
         scale = min(1.0, 512 / max(ow, oh))
         bw = max(32, int(round(ow * scale / 32)) * 32)
         bh = max(32, int(round(oh * scale / 32)) * 32)
-        x = np.asarray(pil.resize((bw, bh), Image.BILINEAR),
-                       np.float32).transpose(2, 0, 1)[None] / 255.0
+        x = _image_to_array(pil.resize((bw, bh), Image.BILINEAR))[None]
         depth, feats = infer(params, jnp.asarray(x))
         depth = np.asarray(depth)[0, 0]
         if (bh, bw) != (oh, ow):

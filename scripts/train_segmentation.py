@@ -118,15 +118,7 @@ def main(argv=None):
     train_dataset, val_dataset, eval_res = build_datasets(cfg)
     n_classes = train_dataset.n_classes
 
-    fcfg = fcfg_from_run_cfg(cfg)
-    if cfg.arch == "dino_depth":
-        from depthg_tpu.models.featurizer_depth import DepthFeaturizerConfig
-
-        fcfg = DepthFeaturizerConfig(
-            arch=fcfg.arch, patch_size=fcfg.patch_size, feat_type=fcfg.feat_type,
-            projection_type=fcfg.projection_type, dim=fcfg.dim,
-            dropout=fcfg.dropout, vit_config=fcfg.vit_config,
-            guidance=str(cfg.get("guidance", "none")))
+    fcfg = fcfg_from_run_cfg(cfg)  # arch-aware (handles dino_depth)
     hp = step_lib.hparams_from_cfg(cfg, n_classes)
     dcfg = decay_lib.from_cfg(cfg)
     base_lcfg = loss_lib.from_cfg(cfg)
