@@ -115,6 +115,16 @@ def main(argv=None):
     os.makedirs(os.path.dirname(log_path), exist_ok=True)
     log_file = open(log_path, "a")
 
+    wandb = None
+    if cfg.get("wandb_logging"):
+        try:
+            import wandb as _wandb
+
+            _wandb.init(project="depthg-tpu", name=name, config=dict(cfg))
+            wandb = _wandb
+        except ImportError:
+            print("wandb_logging=True but wandb is not installed; jsonl logs only")
+
     train_dataset, val_dataset, eval_res = build_datasets(cfg)
     n_classes = train_dataset.n_classes
 
@@ -221,6 +231,8 @@ def main(argv=None):
         print(json.dumps(tb))
         log_file.write(json.dumps(tb) + "\n")
         log_file.flush()
+        if wandb is not None:
+            wandb.log(tb, step=step_num)
         return tb
 
     print(f"training {cfg.dataset_name} for {cfg.max_steps} steps "

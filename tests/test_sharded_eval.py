@@ -35,3 +35,28 @@ def test_sharded_eval_matches_single_device():
 
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
+
+
+def test_eval_step_dispatches_depth_arch():
+    """dino_depth checkpoints must evaluate through the depth-fused forward
+    (no-depth-embed path), not the plain featurizer."""
+    from depthg_tpu.models.featurizer_depth import (
+        DepthFeaturizerConfig,
+        depth_featurizer_init,
+    )
+
+    tiny = ViTConfig(patch_size=8, embed_dim=384, depth=1, num_heads=2, img_size=32)
+    fcfg = DepthFeaturizerConfig(arch="vit_small", patch_size=8, dim=16,
+                                 vit_config=tiny, guidance="cross_attn",
+                                 cross_attn_heads=4)
+    key = jax.random.PRNGKey(0)
+    params = {"net": depth_featurizer_init(key, fcfg),
+              "linear_probe": linear_probe_init(key, 16, 5),
+              "cluster_probe": cluster_lookup_init(key, 16, 5)}
+    ecfg = EvalConfig(n_classes=5, run_crf=False, label_res=32)
+    step = make_eval_step(fcfg, ecfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32))
+    label = jnp.asarray(rng.integers(-1, 5, size=(2, 32, 32)))
+    lin, clu = step(params, img, label)
+    assert int(np.asarray(lin).sum() + np.asarray(clu).sum()) > 0
