@@ -52,10 +52,10 @@ class CRFConfig:
     # coarse approximation is nearly exact while the sxy=1 Gaussian keeps its
     # full sharpness). False = legacy: everything at the coarse resolution.
     mixed_resolution: bool = True
-    # fused Pallas kernel for the bilateral message (ops.crf_pallas): the
-    # kernel matrix never touches HBM. Off by default: Mosaic compilation
-    # does not currently complete through this environment's remote-compile
-    # tunnel (works in interpret mode / standard TPU runtimes).
+    # fused Pallas kernel for the bilateral message (ops.crf_pallas). Off by
+    # default: measured on v5e, XLA's automatic fusion of the blockwise
+    # formulation below is ~3x faster than the hand-written kernel (the
+    # compiler already avoids materializing K); see ops/crf_pallas.py.
     use_pallas: bool = False
 
 

@@ -1,9 +1,16 @@
 """Pallas TPU kernel for the dense bilateral mean-field message.
 
 The CRF's hot op is ``M = K @ Z`` with ``k_ij = exp(-||f_i - f_j||^2 / 2)``
-over N ~ 25k pixels. The pure-XLA path materializes [block, N] kernel slabs in
-HBM (GBs of traffic per mean-field iteration); this kernel fuses distance,
-exp, and the value matmul in VMEM — the kernel matrix never exists in memory.
+over N ~ 25k pixels. This kernel fuses distance, exp, and the value matmul in
+VMEM — the kernel matrix never exists in memory.
+
+Measured reality check (v5e, N=25600, C=28): XLA's automatic fusion of the
+blockwise formulation in ``ops.crf._bilateral_message`` achieves ~3 ms/call
+vs ~9 ms for this kernel — the compiler already avoids materializing K and
+pipelines better than this hand-written schedule, so the XLA path is the
+production default (``CRFConfig.use_pallas=False``). The kernel is kept as
+infrastructure: it is the right structure if a future Mosaic version schedules
+it better, and it documents the fused algorithm explicitly.
 
 Two tricks make it tight on the MXU:
 * feature augmentation: with A_i = [f_i, -|f_i|^2/2, 1] and
@@ -38,10 +45,15 @@ def _kernel(aq_ref, b_ref, values_ref, out_ref):
     def body(j, acc):
         bk_blk = b_ref[:, pl.ds(j * _BK, _BK)]       # [F, BK]
         zs = values_ref[:, pl.ds(j * _BK, _BK)]      # [C, BK]
+        # log-kernel needs full f32: exp() amplifies bf16 matmul rounding
+        # (contraction dim is only 8, so f32 here is nearly free)
         logk = jax.lax.dot_general(
             aq, bk_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # [Bq, BK]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # [Bq, BK]
         k = jnp.exp(logk)
+        # the value matmul tolerates MXU default precision (k in [0,1],
+        # messages are normalized downstream); f32 here would cost 8x MXU rate
         return acc + jax.lax.dot_general(
             k, zs, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # [Bq, C]
