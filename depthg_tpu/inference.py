@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from depthg_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
 from depthg_tpu.models import featurizer as featurizer_lib
 from depthg_tpu.models import probes
-from depthg_tpu.ops.crf import CRFConfig, dense_crf_batch
+from depthg_tpu.ops.crf import CRFConfig, dense_crf_multi_batch
 from depthg_tpu.ops.resize import resize_bilinear
 from depthg_tpu.utils.metrics import confusion_update
 
@@ -77,8 +77,11 @@ def predictions(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
         guidance = unnormalize_255(img)
         if guidance.shape[-1] != ecfg.label_res:
             guidance = resize_bilinear(guidance, (ecfg.label_res, ecfg.label_res))
-        linear_preds = jnp.argmax(dense_crf_batch(guidance, linear_log, ecfg.crf), 1)
-        cluster_preds = jnp.argmax(dense_crf_batch(guidance, cluster_log, ecfg.crf), 1)
+        # one fused mean field: both probes share the image's pairwise kernel
+        linear_q, cluster_q = dense_crf_multi_batch(
+            guidance, [linear_log, cluster_log], ecfg.crf)
+        linear_preds = jnp.argmax(linear_q, 1)
+        cluster_preds = jnp.argmax(cluster_q, 1)
     else:
         linear_preds = jnp.argmax(linear_log, 1)
         cluster_preds = jnp.argmax(cluster_log, 1)

@@ -36,6 +36,9 @@ class FeaturizerConfig:
     dropout: bool = True             # cfg.dropout: Dropout2d(.1) on returned feats
     drop_rate: float = 0.1
     vit_config: "vit_lib.ViTConfig | None" = None  # override (tests / custom backbones)
+    # "auto" = fused flash attention on TPU whenever the attn matrix isn't
+    # consumed (the [N,N] softmax never touches HBM); "xla" | "flash" force.
+    attention_impl: str = "auto"
 
     @property
     def vit(self) -> vit_lib.ViTConfig:
@@ -82,14 +85,20 @@ def _tokens_to_grid(feat: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 def backbone_features(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
-                      precision: str | None = None):
-    """Frozen-backbone dense features [B, C, H/ps, W/ps] plus last-block attn."""
+                      precision: str | None = None, need_attn: bool = False):
+    """Frozen-backbone dense features [B, C, H/ps, W/ps] plus last-block attn.
+
+    ``need_attn=False`` (the default — LHP attn propagation is the only
+    consumer) lets "auto" pick the flash path, under which ``attn`` is None.
+    """
     vcfg = fcfg.vit
     assert img.shape[2] % vcfg.patch_size == 0 and img.shape[3] % vcfg.patch_size == 0
     fh = img.shape[2] // vcfg.patch_size
     fw = img.shape[3] // vcfg.patch_size
 
-    feats, attns, qkvs = vit_lib.vit_apply(params["vit"], img, vcfg, n=1, precision=precision)
+    impl = vit_lib.resolve_attn_impl(fcfg.attention_impl, need_attn, precision)
+    feats, attns, qkvs = vit_lib.vit_apply(params["vit"], img, vcfg, n=1,
+                                           precision=precision, attn_impl=impl)
     feat, attn, qkv = feats[0], attns[0], qkvs[0]
 
     if fcfg.feat_type == "feat":
@@ -104,7 +113,8 @@ def backbone_features(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
         raise ValueError(f"Unknown feat type: {fcfg.feat_type}")
 
     image_feat = jax.lax.stop_gradient(image_feat)
-    attn = jax.lax.stop_gradient(attn)
+    if attn is not None:
+        attn = jax.lax.stop_gradient(attn)
     return image_feat, attn
 
 
@@ -126,7 +136,7 @@ def project(params: dict, image_feat: jnp.ndarray, fcfg: FeaturizerConfig,
 
 def dispatch_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
                    depth=None, key: jax.Array | None = None, train: bool = False,
-                   precision: str | None = None):
+                   precision: str | None = None, need_attn: bool = False):
     """Arch-aware featurizer apply: routes DepthFeaturizerConfig to the
     depth-fused forward (its eval path uses the no-depth embed), everything
     else to the plain featurizer. The single dispatch point for train,
@@ -138,20 +148,21 @@ def dispatch_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
 
     if isinstance(fcfg, DepthFeaturizerConfig):
         return depth_featurizer_apply(params, img, fcfg, depth=depth, key=key,
-                                      train=train, precision=precision)
+                                      train=train, precision=precision,
+                                      need_attn=need_attn)
     return featurizer_apply(params, img, fcfg, key=key, train=train,
-                            precision=precision)
+                            precision=precision, need_attn=need_attn)
 
 
 def featurizer_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
                      key: jax.Array | None = None, train: bool = False,
-                     precision: str | None = None):
+                     precision: str | None = None, need_attn: bool = False):
     """Full featurizer. Returns dict(feats, code, attn).
 
     In train mode with ``fcfg.dropout`` the returned ``feats`` carry their own
     dropout mask, mirroring reference ``src/modules.py:128-137``.
     """
-    image_feat, attn = backbone_features(params, img, fcfg, precision)
+    image_feat, attn = backbone_features(params, img, fcfg, precision, need_attn)
     if key is not None:
         kp, kf = jax.random.split(key)
     else:

@@ -122,7 +122,31 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, npatch: int, w: int, h: int
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 
-def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig):
+def _flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Fused flash attention (Pallas TPU kernel): the [N, N] softmax matrix
+    never touches HBM. At eval shapes (N=1601, B=16) the XLA path writes
+    ~3 GB of attention intermediates per layer; this kernel streams them
+    through VMEM. Sequence is padded to a lane multiple and masked out via
+    segment ids (padded keys get weight exactly 0)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, h, n, hd = q.shape
+    npad = -(-n // 128) * 128
+    if npad != n:
+        pad = ((0, 0), (0, 0), (0, npad - n), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    seg = (jnp.arange(npad) < n).astype(jnp.int32)[None].repeat(b, 0)
+    # measured on v5e @ N=1664: q-block 128 with the whole KV resident in
+    # VMEM (block_k = seq) beats the default 512/512 blocks ~2.3x
+    block_q = max(bq for bq in (512, 256, 128) if npad % bq == 0)
+    sizes = fa.BlockSizes(block_q=min(block_q, npad), block_k_major=npad,
+                          block_k=npad, block_b=1)
+    out = fa.flash_attention(q, k, v, segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                             sm_scale=scale, block_sizes=sizes)
+    return out[:, :, :n, :]
+
+
+def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla"):
     b, n, d = x.shape
     hd = d // cfg.num_heads
     qkv = linear(p["qkv"], x)  # [B, N, 3D]
@@ -130,19 +154,28 @@ def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig):
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, h, N, hd]
     q, k, v = qkv[0], qkv[1], qkv[2]
     scale = hd ** -0.5
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    if impl == "flash":
+        out = _flash_mha(q, k, v, scale)
+        attn = None  # flash never materializes the attention matrix
+    else:
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, d)
     return linear(p["proj"], out), attn, qkv
 
 
-def _block(p: dict, x: jnp.ndarray, cfg: ViTConfig):
-    y, attn, qkv = _attention(p, layer_norm(p["norm1"], x, cfg.ln_eps), cfg)
+def _block(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla"):
+    y, attn, qkv = _attention(p, layer_norm(p["norm1"], x, cfg.ln_eps), cfg, impl)
     x = x + y
     h = layer_norm(p["norm2"], x, cfg.ln_eps)
-    h = linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], h), approximate=False))
+    # torch nn.GELU is erf-exact; in bf16 the tanh approximation's error
+    # (<3e-3 abs) is below the bf16 quantization step and erf costs ~20% of
+    # the whole forward on the VPU (measured v5e, batch 16 @320px), so bf16
+    # activations take the approximate path. f32 (parity) keeps exact erf.
+    h = linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], h),
+                                     approximate=h.dtype == jnp.bfloat16))
     return x + h, attn, qkv
 
 
@@ -155,8 +188,20 @@ def prepare_tokens(params: dict, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     return tok + pos.astype(tok.dtype)
 
 
+def resolve_attn_impl(impl: str, need_attn: bool, precision: str | None) -> str:
+    """"auto" -> "flash" on TPU when the attention *matrix* isn't consumed and
+    no explicit (parity) matmul precision is requested; "xla" otherwise. Flash
+    cannot return attn maps, so callers that need them (LHP attn propagation,
+    golden tests) keep the einsum path."""
+    if impl != "auto":
+        return impl
+    if need_attn or precision is not None:
+        return "xla"
+    return "flash" if jax.default_backend() == "tpu" else "xla"
+
+
 def vit_apply(params: dict, x: jnp.ndarray, cfg: ViTConfig, n: int = 1,
-              precision: str | None = None):
+              precision: str | None = None, attn_impl: str = "xla"):
     """Forward through all blocks; collect (normed tokens, attn, qkv) of last n blocks.
 
     Returns (feats, attns, qkvs) — lists of length n, mirroring the reference's
@@ -165,13 +210,14 @@ def vit_apply(params: dict, x: jnp.ndarray, cfg: ViTConfig, n: int = 1,
 
     ``precision``: None = MXU default (bf16 inputs, f32 accumulate) for speed;
     "float32" for bit-parity with the torch reference.
+    ``attn_impl``: "xla" | "flash" (attn entries are None under flash).
     """
     with matmul_precision(precision):
         x = prepare_tokens(params, x, cfg)
         feats, attns, qkvs = [], [], []
         depth = len(params["blocks"])
         for i, blk in enumerate(params["blocks"]):
-            x, attn, qkv = _block(blk, x, cfg)
+            x, attn, qkv = _block(blk, x, cfg, attn_impl)
             if depth - i <= n:
                 feats.append(layer_norm(params["norm"], x, cfg.ln_eps))
                 attns.append(attn)

@@ -57,6 +57,10 @@ class CRFConfig:
     # formulation below is ~3x faster than the hand-written kernel (the
     # compiler already avoids materializing K); see ops/crf_pallas.py.
     use_pallas: bool = False
+    # mean-field state dtype. The iteration is HBM-bound at full res;
+    # "bfloat16" halves the traffic. The unary stays f32 and each iteration
+    # re-softmaxes from it, so bf16 rounding doesn't accumulate.
+    dtype: str = "float32"
 
 
 @functools.lru_cache(maxsize=None)
@@ -68,10 +72,15 @@ def _gauss_band(n: int, sigma: float) -> np.ndarray:
 
 
 def _gaussian_filter(q: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Exact separable Gaussian kernel application; q: [C, H, W]."""
+    """Exact separable Gaussian kernel application; q: [C, H, W].
+
+    Two dense banded matmuls on the MXU. (A depthwise 11-tap conv is
+    algebraically identical and 20x fewer FLOPs, but measured 35% *slower*
+    end-to-end on v5e — single-channel convs can't feed the MXU.)
+    """
     h, w = q.shape[-2:]
-    gh = jnp.asarray(_gauss_band(h, sigma))
-    gw = jnp.asarray(_gauss_band(w, sigma))
+    gh = jnp.asarray(_gauss_band(h, sigma), q.dtype)
+    gw = jnp.asarray(_gauss_band(w, sigma), q.dtype)
     q = jnp.einsum("ij,cjw->ciw", gh, q)
     return jnp.einsum("ij,cwj->cwi", gw, q)
 
@@ -99,7 +108,9 @@ def _bilateral_message(feats: jnp.ndarray, values: jnp.ndarray, block: int,
         # -||a-b||^2/2 = a.b - |a|^2/2 - |b|^2/2
         cross = fb @ feats.T  # [B, N] matmul on MXU
         logk = cross - 0.5 * sqb[:, None] - 0.5 * sq[None, :]
-        k = jnp.exp(logk)
+        # k in the values' dtype: the [B, N] kernel block is the largest
+        # intermediate and its entries live in [0, 1] — bf16-safe
+        k = jnp.exp(logk).astype(values.dtype)
         return k @ values  # [B, C]
 
     blocks_f = feats_p.reshape(-1, block, f)
@@ -120,19 +131,25 @@ def _bilateral_features(image: jnp.ndarray, ccfg: CRFConfig, ds: int) -> jnp.nda
     return feats.reshape(5, -1).T
 
 
-def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConfig()):
-    """Mean-field dense CRF refinement for one image.
+def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig()):
+    """Mean-field dense CRF refinement of SEVERAL label fields over one image.
 
-    image: [3, H, W] raw pixel values 0..255 (channel order irrelevant —
-    the bilateral kernel is isotropic in color).
-    logits: [C, h, w] at any resolution; upsampled to (H, W) like the
-    reference (bilinear, align_corners=False).
-    Returns Q: [C, H, W] refined probabilities.
+    The pairwise kernels depend only on the image, so refining k independent
+    logit sets (the eval path runs linear + cluster probes over the same
+    image, ``src/eval_segmentation.py:158-167``) shares the expensive part:
+    the per-iteration bilateral message stacks all fields' distributions into
+    one [N, sum(C_k)] value matrix, computing the O(N^2) kernel (the exp is
+    the dominant cost on the VPU) exactly once.
+
+    image: [3, H, W] raw pixel values 0..255; each logits: [C_k, h, w].
+    Returns a list of refined Q: [C_k, H, W].
     """
-    c = logits.shape[0]
+    cs = [lg.shape[0] for lg in logits_list]
+    splits = list(np.cumsum(cs))[:-1]
     h, w = image.shape[-2:]
-    logits = resize_bilinear(logits[None], (h, w))[0]
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=0)
+    probs = jnp.concatenate(
+        [jax.nn.softmax(resize_bilinear(lg[None], (h, w))[0].astype(jnp.float32), axis=0)
+         for lg in logits_list], axis=0)  # [sum(C), H, W]
 
     ds = ccfg.downsample
     mixed = ccfg.mixed_resolution and ds > 1
@@ -148,10 +165,21 @@ def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConf
     deg_bi = _bilateral_message(bf, ones, ccfg.block, ccfg.use_pallas)[:, 0]
     inv_sqrt_deg_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
 
+    dt = jnp.bfloat16 if ccfg.dtype == "bfloat16" else jnp.float32
+
     def bilateral(q_coarse):
-        z = (q_coarse.reshape(c, -1) * inv_sqrt_deg_bi[None]).T  # [Nc, C]
+        c = q_coarse.shape[0]
+        z = (q_coarse.reshape(c, -1) * inv_sqrt_deg_bi[None].astype(dt)).T  # [Nc, C]
         mb = _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas).T
-        return (mb * inv_sqrt_deg_bi[None]).reshape(c, hd, wd)
+        return (mb * inv_sqrt_deg_bi[None].astype(dt)).reshape(c, hd, wd)
+
+    def blockwise_softmax(x):
+        """Softmax per logit set along the stacked channel axis (f32 math —
+        the unary keeps full precision so bf16 rounding never accumulates)."""
+        parts = jnp.split(x, splits, axis=0)
+        return jnp.concatenate(
+            [jax.nn.softmax(p.astype(jnp.float32), axis=0) for p in parts],
+            axis=0).astype(dt)
 
     if mixed:
         # full-res mean field: exact separable Gaussian + upsampled bilateral
@@ -160,13 +188,17 @@ def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConf
         deg_g = _gaussian_filter(jnp.ones((1, h, w), jnp.float32), gauss_sigma)[0]
         inv_sqrt_deg_g = jax.lax.rsqrt(jnp.maximum(deg_g, 1e-20))
 
+        isd = inv_sqrt_deg_g[None].astype(dt)
+
         def mf_iter(_, q):
-            mg = _gaussian_filter(q * inv_sqrt_deg_g[None], gauss_sigma) * inv_sqrt_deg_g[None]
+            mg = _gaussian_filter(q * isd, gauss_sigma) * isd
             q_coarse = resize_bilinear(q[None], (hd, wd))[0]
             mb = resize_bilinear(bilateral(q_coarse)[None], (h, w))[0]
-            return jax.nn.softmax(log_unary + ccfg.pos_w * mg + ccfg.bi_w * mb, axis=0)
+            return blockwise_softmax(log_unary + ccfg.pos_w * mg.astype(jnp.float32)
+                                     + ccfg.bi_w * mb.astype(jnp.float32))
 
-        return jax.lax.fori_loop(0, ccfg.max_iter, mf_iter, probs)
+        q = jax.lax.fori_loop(0, ccfg.max_iter, mf_iter, probs.astype(dt))
+        return jnp.split(q.astype(jnp.float32), splits, axis=0)
 
     # legacy: entire mean field at the working resolution
     probs_d = resize_bilinear(probs[None], (hd, wd))[0] if ds > 1 else probs
@@ -175,20 +207,48 @@ def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConf
     deg_g = _gaussian_filter(jnp.ones((1, hd, wd), jnp.float32), gauss_sigma)[0]
     inv_sqrt_deg_g = jax.lax.rsqrt(jnp.maximum(deg_g, 1e-20))
 
-    def mf_iter(_, q):
-        mg = _gaussian_filter(q * inv_sqrt_deg_g[None], gauss_sigma) * inv_sqrt_deg_g[None]
-        mb = bilateral(q)
-        return jax.nn.softmax(log_unary + ccfg.pos_w * mg + ccfg.bi_w * mb, axis=0)
+    isd = inv_sqrt_deg_g[None].astype(dt)
 
-    q = jax.lax.fori_loop(0, ccfg.max_iter, mf_iter, probs_d)
+    def mf_iter(_, q):
+        mg = _gaussian_filter(q * isd, gauss_sigma) * isd
+        mb = bilateral(q)
+        return blockwise_softmax(log_unary + ccfg.pos_w * mg.astype(jnp.float32)
+                                 + ccfg.bi_w * mb.astype(jnp.float32))
+
+    q = jax.lax.fori_loop(0, ccfg.max_iter, mf_iter, probs_d.astype(dt)
+                          ).astype(jnp.float32)
 
     if ds > 1:
         q = resize_bilinear(q[None], (h, w))[0]
-        q = q / jnp.maximum(q.sum(axis=0, keepdims=True), 1e-20)
-    return q
+        parts = jnp.split(q, splits, axis=0)
+        return [p / jnp.maximum(p.sum(axis=0, keepdims=True), 1e-20) for p in parts]
+    return jnp.split(q, splits, axis=0)
+
+
+def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConfig()):
+    """Mean-field dense CRF refinement for one image.
+
+    image: [3, H, W] raw pixel values 0..255 (channel order irrelevant —
+    the bilateral kernel is isotropic in color).
+    logits: [C, h, w] at any resolution; upsampled to (H, W) like the
+    reference (bilinear, align_corners=False).
+    Returns Q: [C, H, W] refined probabilities.
+    """
+    return dense_crf_multi(image, [logits], ccfg)[0]
 
 
 def dense_crf_batch(images: jnp.ndarray, logits: jnp.ndarray,
                     ccfg: CRFConfig = CRFConfig()) -> jnp.ndarray:
     """vmap over a batch: images [B, 3, H, W], logits [B, C, h, w]."""
     return jax.vmap(lambda im, lg: dense_crf(im, lg, ccfg))(images, logits)
+
+
+def dense_crf_multi_batch(images: jnp.ndarray, logits_list,
+                          ccfg: CRFConfig = CRFConfig()):
+    """Refine several batched logit sets sharing each image's kernel.
+
+    images: [B, 3, H, W]; logits_list: list of [B, C_k, h, w].
+    Returns a list of [B, C_k, H, W].
+    """
+    return jax.vmap(lambda im, *lgs: tuple(dense_crf_multi(im, list(lgs), ccfg)))(
+        images, *logits_list)

@@ -189,8 +189,11 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
     depth_pos = batch.get("depth_pos")
 
     k1, k2, k3, k3b, k4, k5 = jax.random.split(key, 6)
+    # the attn matrix is consumed only by LHP attn propagation; leaving
+    # need_attn False lets the backbone take the fused flash-attention path
+    need_attn = hp.lhp and hp.lhp_propagation_strategy == "attn"
     out = _apply_featurizer(net_params, img, fcfg, depth=depth, key=k1, train=True,
-                            precision=hp.precision)
+                            precision=hp.precision, need_attn=need_attn)
     feats, code = out["feats"], out["code"]
 
     logs: dict[str, Any] = {}
