@@ -26,6 +26,13 @@ def make_mesh_for_batch(batch_size: int, n_devices: int | None = None,
     """Largest mesh (<= available devices) whose size divides the batch."""
     avail = len(jax.devices()) if n_devices is None else n_devices
     d = max(k for k in range(1, avail + 1) if batch_size % k == 0)
+    if d < avail:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "batch_size=%d not divisible by %d devices: using a %d-device "
+            "mesh (%d device(s) idle) — pick a divisible batch size",
+            batch_size, avail, d, avail - d)
     return make_mesh(d, axis)
 
 

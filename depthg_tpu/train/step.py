@@ -63,6 +63,8 @@ class TrainHParams:
     lhp_propagation_strategy: str = "depth"
     # backbone matmul precision: None = MXU default; "float32" for parity runs
     precision: str | None = None
+    # return raw correlation tensors in logs for TB histograms (hist_freq)
+    log_hist: bool = False
     # ContrastiveCRFLoss constants (crf_weight>0 path)
     crf_samples: int = 1000
     alpha: float = 0.5
@@ -252,6 +254,13 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
             "cd/pos_inter": corr["pos_inter_cd"].mean(),
             "cd/neg_inter": corr["neg_inter_cd"].mean(),
         })
+        if hp.log_hist:
+            # raw correlation tensors for TensorBoard histograms (reference
+            # src/train_segmentation.py:298-301); static flag -> this jit
+            # bucket is only compiled/used on hist_freq steps
+            logs["hist/intra_cd"] = corr["pos_intra_cd"]
+            logs["hist/inter_cd"] = corr["pos_inter_cd"]
+            logs["hist/neg_cd"] = corr["neg_inter_cd"]
         corr_total = (hp.pos_inter_weight * pos_inter
                       + hp.pos_intra_weight * pos_intra
                       + hp.neg_inter_weight * neg_inter)

@@ -134,6 +134,124 @@ def load_lightning_ckpt(path: str):
     return segmenter_params_from_lightning(blob["state_dict"]), hparams
 
 
+# ---------------------------------------------------------------------------
+# Export: JAX pytree -> reference Lightning ``.ckpt`` (inverse of the loaders
+# above; SURVEY.md §7 step 7). The written file uses the exact key layout of
+# the reference ``LitUnsupervisedSegmenter`` (``src/train_segmentation.py:
+# 110-147``) so the reference's own ``eval_segmentation.py:88`` /
+# ``load_from_checkpoint`` can consume checkpoints trained by this framework.
+# ---------------------------------------------------------------------------
+
+
+def _torch(a):
+    import torch
+
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(a)))
+
+
+def _linear_sd(out: dict, prefix: str, p: dict) -> None:
+    out[prefix + ".weight"] = _torch(np.asarray(p["w"]).T)
+    out[prefix + ".bias"] = _torch(p["b"])
+
+
+def _conv1x1_sd(out: dict, prefix: str, p: dict) -> None:
+    out[prefix + ".weight"] = _torch(np.asarray(p["w"]).T[:, :, None, None])
+    out[prefix + ".bias"] = _torch(p["b"])
+
+
+def _layer_norm_sd(out: dict, prefix: str, p: dict) -> None:
+    out[prefix + ".weight"] = _torch(p["g"])
+    out[prefix + ".bias"] = _torch(p["b"])
+
+
+def vit_state_dict(params: dict, prefix: str = "") -> dict:
+    """depthg_tpu vit param pytree -> DINO ViT torch state dict."""
+    out: dict[str, Any] = {}
+    pw = np.asarray(params["patch_embed"]["w"])  # [3*ps*ps, D], (c, kh, kw) order
+    d = pw.shape[1]
+    ps = int(round((pw.shape[0] // 3) ** 0.5))
+    out[prefix + "patch_embed.proj.weight"] = _torch(pw.T.reshape(d, 3, ps, ps))
+    out[prefix + "patch_embed.proj.bias"] = _torch(params["patch_embed"]["b"])
+    out[prefix + "cls_token"] = _torch(params["cls_token"])
+    out[prefix + "pos_embed"] = _torch(params["pos_embed"])
+    _layer_norm_sd(out, prefix + "norm", params["norm"])
+    for i, blk in enumerate(params["blocks"]):
+        p = f"{prefix}blocks.{i}"
+        _layer_norm_sd(out, p + ".norm1", blk["norm1"])
+        _linear_sd(out, p + ".attn.qkv", blk["qkv"])
+        _linear_sd(out, p + ".attn.proj", blk["proj"])
+        _layer_norm_sd(out, p + ".norm2", blk["norm2"])
+        _linear_sd(out, p + ".mlp.fc1", blk["fc1"])
+        _linear_sd(out, p + ".mlp.fc2", blk["fc2"])
+    return out
+
+
+def lightning_state_dict(params: dict) -> dict:
+    """Full segmenter param pytree -> reference Lightning state_dict."""
+    net = params["net"]
+    sd = vit_state_dict(net["vit"], prefix="net.model.")
+    if "cluster1" in net:
+        _conv1x1_sd(sd, "net.cluster1.0", net["cluster1"])
+    if "cluster2" in net:
+        _conv1x1_sd(sd, "net.cluster2.0", net["cluster2"]["fc1"])
+        _conv1x1_sd(sd, "net.cluster2.2", net["cluster2"]["fc2"])
+    if "linear_probe" in params:
+        _conv1x1_sd(sd, "linear_probe", params["linear_probe"])
+    if "cluster_probe" in params:
+        sd["cluster_probe.clusters"] = _torch(params["cluster_probe"]["clusters"])
+    if "decoder" in params and params["decoder"] is not None:
+        # the inline rec-loss decoder (reference train_segmentation.py:115)
+        _conv1x1_sd(sd, "decoder", params["decoder"])
+    return sd
+
+
+def export_lightning_ckpt(path: str, params, cfg: dict | None = None,
+                          n_classes: int | None = None, global_step: int = 0,
+                          epoch: int = 0) -> None:
+    """Write a reference-compatible Lightning ``.ckpt``.
+
+    ``cfg`` should be the reference-style run config (the hparams the
+    reference's ``save_hyperparameters()`` would have captured); ``n_classes``
+    defaults to the linear probe's output dim.
+    """
+    import torch
+
+    host = jax_to_numpy(params)
+    if n_classes is None and "linear_probe" in host:
+        n_classes = int(np.asarray(host["linear_probe"]["w"]).shape[1])
+    blob = {
+        "epoch": epoch,
+        "global_step": global_step,
+        "pytorch-lightning_version": "1.9.0",
+        "state_dict": lightning_state_dict(host),
+        "hyper_parameters": {"n_classes": n_classes, "cfg": dict(cfg or {})},
+        "loops": {},
+        "callbacks": {},
+        "optimizer_states": [],
+        "lr_schedulers": [],
+    }
+    torch.save(blob, path)
+
+
+def jax_to_numpy(tree):
+    """Device pytree -> host numpy (f32 for float dtypes, incl. bf16)."""
+
+    def conv(x):
+        if hasattr(x, "dtype") and hasattr(x, "__array__"):
+            a = np.asarray(x)
+            if a.dtype.kind == "V" or str(a.dtype) == "bfloat16":
+                a = a.astype(np.float32)
+            return a
+        return x
+
+    try:
+        import jax
+
+        return jax.tree_util.tree_map(conv, tree)
+    except ImportError:
+        return tree
+
+
 def to_jax(tree, dtype=None):
     """numpy pytree -> device arrays (optionally casting floats)."""
     import jax.numpy as jnp

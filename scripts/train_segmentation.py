@@ -125,6 +125,19 @@ def main(argv=None):
         except ImportError:
             print("wandb_logging=True but wandb is not installed; jsonl logs only")
 
+    # TensorBoard event files (reference TensorBoardLogger,
+    # src/train_segmentation.py:662-665), rotated every 2000 steps like the
+    # reference (457-460); torch's writer is a pure-host dependency here
+    tb_writer = None
+    tb_dir = join(cfg.output_root, "tb", name.replace("/", "_"))
+    if cfg.get("tensorboard_logging", True):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_writer = SummaryWriter(log_dir=tb_dir)
+        except ImportError:
+            print("tensorboard not available; jsonl logs only")
+
     train_dataset, val_dataset, eval_res = build_datasets(cfg)
     n_classes = train_dataset.n_classes
 
@@ -163,10 +176,11 @@ def main(argv=None):
 
     import dataclasses
 
-    @functools.partial(jax.jit, static_argnames=("mode", "s"))
-    def jstep(state, batch, key, w, sh, mode, s):
+    @functools.partial(jax.jit, static_argnames=("mode", "s", "hist"))
+    def jstep(state, batch, key, w, sh, mode, s, hist=False):
         lcfg = dataclasses.replace(base_lcfg, depth_sampling=mode, feature_samples=s)
-        return step_lib.train_step(state, batch, key, fcfg, hp, lcfg, w, sh)
+        hp_s = dataclasses.replace(hp, log_hist=True) if hist else hp
+        return step_lib.train_step(state, batch, key, fcfg, hp_s, lcfg, w, sh)
 
     val_step = make_validation_step(fcfg, n_classes, hp.extra_clusters)
 
@@ -198,6 +212,14 @@ def main(argv=None):
         params["net"]["vit"] = host_backbone  # avoid re-fetching the backbone
         save_native(join(checkpoint_dir, tag), params, dict(cfg),
                     extra={"metrics": metrics or {}})
+        if cfg.get("export_torch_ckpt", True) and cfg.arch == "dino":
+            # reference-compatible Lightning .ckpt so the reference's own
+            # eval_segmentation.py can validate weights trained here
+            from depthg_tpu.utils.ckpt import export_lightning_ckpt
+
+            export_lightning_ckpt(join(checkpoint_dir, tag + ".ckpt"), params,
+                                  cfg=dict(cfg), n_classes=n_classes,
+                                  global_step=int(state["step"]))
         # full resumable train state (trainables + optimizer moments + step);
         # optax NamedTuple structure survives pickling, unlike a bare orbax
         # pytree restore
@@ -210,6 +232,27 @@ def main(argv=None):
         }
         with open(join(checkpoint_dir, tag + ".train_state.pkl"), "wb") as f:
             pickle.dump(resume_blob, f)
+
+    # save_top_k=2 retention (reference ModelCheckpoint,
+    # src/train_segmentation.py:703-710): keep the two best step-tagged
+    # checkpoints by the monitor plus best/last
+    topk_kept: list = []  # [(monitor_value, step, tag)] sorted desc
+
+    def save_topk(step_num, value, metrics):
+        import shutil
+
+        tag = f"step{step_num}"
+        save_ckpt(tag, metrics)
+        topk_kept.append((value, step_num, tag))
+        topk_kept.sort(key=lambda t: (-t[0], -t[1]))
+        while len(topk_kept) > int(cfg.get("save_top_k", 2)):
+            _, _, old = topk_kept.pop()
+            for suffix in ("", ".ckpt", ".train_state.pkl"):
+                p = join(checkpoint_dir, old + suffix)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                elif os.path.exists(p):
+                    os.remove(p)
 
     def run_validation(step_num):
         linear_m = SegMetrics("test/linear/", n_classes, 0, False)
@@ -233,6 +276,9 @@ def main(argv=None):
         log_file.flush()
         if wandb is not None:
             wandb.log(tb, step=step_num)
+        if tb_writer is not None:
+            for k, v in tb.items():
+                tb_writer.add_scalar(k, v, step_num)
         return tb
 
     print(f"training {cfg.dataset_name} for {cfg.max_steps} steps "
@@ -248,8 +294,19 @@ def main(argv=None):
             w = decay_lib.depth_feat_weight(dcfg, step_num)
             sh = decay_lib.depth_feat_shift(dcfg, step_num)
             key = jax.random.fold_in(jax.random.PRNGKey(seed), step_num)
-            state, logs = jstep(state, device_batch(batch), key, w, sh, mode, s)
+            hist_freq = cfg.get("hist_freq")
+            want_hist = (tb_writer is not None and hist_freq
+                         and step_num > 0 and step_num % int(hist_freq) == 0)
+            state, logs = jstep(state, device_batch(batch), key, w, sh, mode, s,
+                                hist=bool(want_hist))
             step_num += 1
+
+            if want_hist:
+                host_logs = jax.device_get(logs)
+                for name_ in ("intra_cd", "inter_cd", "neg_cd"):
+                    tb_writer.add_histogram(name_, np.asarray(
+                        host_logs.pop(f"hist/{name_}")), step_num)
+                logs = {k: v for k, v in logs.items() if not k.startswith("hist/")}
 
             if step_num % cfg.scalar_log_freq == 0:
                 pending_logs = (step_num, logs)  # fetch lazily, off the hot path
@@ -262,7 +319,18 @@ def main(argv=None):
                 t_last = time.time()
                 log_file.write(json.dumps(host) + "\n")
                 log_file.flush()
+                if tb_writer is not None:
+                    for k, v in host.items():
+                        tb_writer.add_scalar(k, v, sn)
                 pending_logs = None
+
+            if (tb_writer is not None and step_num % 2000 == 0 and step_num > 0):
+                # new tfevents file every 2000 steps (reference
+                # src/train_segmentation.py:457-460)
+                from torch.utils.tensorboard import SummaryWriter
+
+                tb_writer.close()
+                tb_writer = SummaryWriter(log_dir=tb_dir)
 
             if cfg.get("reset_probe_steps") is not None and step_num == cfg.reset_probe_steps:
                 state = step_lib.reset_probes(state, jax.random.fold_in(
@@ -273,10 +341,13 @@ def main(argv=None):
                 if tb[monitor] > best_monitor:
                     best_monitor = tb[monitor]
                     save_ckpt("best", tb)
+                save_topk(step_num, tb[monitor], tb)
                 save_ckpt("last", tb)
 
     tb = run_validation(step_num)
     save_ckpt("last", tb)
+    if tb_writer is not None:
+        tb_writer.close()
     print(f"done. best {monitor}: {max(best_monitor, tb[monitor]):.3f}")
     print(f"checkpoints: {checkpoint_dir}")
 
