@@ -89,11 +89,16 @@ def beit_params_from_torch(sd: dict) -> dict:
 def dpt_params_from_torch(sd: dict) -> dict:
     params: dict = {"readout": [], "reassemble": [], "rn": [], "fusion": []}
     for i in range(1, 5):
-        # MiDaS 3.1: pretrained.act_postprocess{i} = Sequential(readout_proj,
-        # Transpose..., conv1x1 project[, resample])
-        ro = f"act_postprocess{i}.0.project.0"
-        params["readout"].append({"w": _find(sd, ro + ".weight").T,
-                                  "b": _find(sd, ro + ".bias")})
+        # MiDaS 3.x: pretrained.act_postprocess{i} = Sequential(readout_oper,
+        # Transpose..., conv1x1 project[, resample]). readout_oper variants
+        # (isl-org/MiDaS vit.py): ProjectReadout -> ".0.project.0.{weight,bias}";
+        # Slice/AddReadout -> parameter-free (no keys).
+        try:
+            ro = f"act_postprocess{i}.0.project.0"
+            params["readout"].append({"w": _find(sd, ro + ".weight").T,
+                                      "b": _find(sd, ro + ".bias")})
+        except KeyError:
+            params["readout"].append(None)  # slice/add readout: no params
         params["reassemble"].append({"project": _conv(sd, f"act_postprocess{i}.3")})
     params["reassemble"][0]["resample"] = _conv(sd, "act_postprocess1.4")
     params["reassemble"][1]["resample"] = _conv(sd, "act_postprocess2.4")
@@ -121,6 +126,9 @@ def dpt_params_from_torch(sd: dict) -> dict:
 
 def zoe_params_from_torch(state_dict: dict) -> dict:
     sd = state_dict.get("model", state_dict)
+    # DataParallel/DDP saves prefix every key with "module."
+    # (reference src/zoedepth/models/model_io.py:40-44)
+    sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
     n_stages = 1 + max(int(m.group(1)) for k in sd
                        if (m := re.search(r"projectors\.(\d+)\._net", k)))
     params = {
@@ -139,10 +147,46 @@ def zoe_params_from_torch(state_dict: dict) -> dict:
     return params
 
 
-def load_zoedepth_pt(path: str) -> dict:
+def zoe_config_from_params(params: dict):
+    """Derive a ZoeConfig from converted parameter shapes — makes the loader
+    robust to released-checkpoint variants (ZoeD-S/M/L, different bin counts)
+    without hardcoding the M12_N layout."""
+    from depthg_tpu.models.zoedepth.beit import BEiTConfig
+    from depthg_tpu.models.zoedepth.dpt import DPTConfig
+    from depthg_tpu.models.zoedepth.model import ZoeConfig
+
+    bp = params["beit"]
+    depth = len(bp["blocks"])
+    embed_dim = bp["patch_embed"]["w"].shape[1]
+    heads = bp["blocks"][0]["rel_pos_table"].shape[1]
+    # table rows = (2w-1)^2 + 3 (3 extra cls-relative entries, timm BEiT)
+    window = (int(round((bp["blocks"][0]["rel_pos_table"].shape[0] - 3) ** 0.5)) + 1) // 2
+    hooks = (depth // 4 - 1, depth // 2 - 1, 3 * depth // 4 - 1, depth - 1)
+
+    dp = params["dpt"]
+    dpt_cfg = DPTConfig(
+        embed_dim=embed_dim,
+        features=dp["rn"][0]["w"].shape[0],
+        reassemble_channels=tuple(r["project"]["w"].shape[0] for r in dp["reassemble"]),
+    )
+    n_bins = params["seed_bin_regressor"][-1]["w"].shape[0]
+    bin_dim = params["seed_projector"][-1]["w"].shape[0]
+    n_attractors = tuple(a[-1]["w"].shape[0] for a in params["attractors"])
+    return ZoeConfig(
+        n_bins=n_bins, bin_embedding_dim=bin_dim, n_attractors=n_attractors,
+        beit=BEiTConfig(embed_dim=embed_dim, depth=depth, num_heads=heads,
+                        pretrain_window=window, hooks=hooks),
+        dpt=dpt_cfg, n_midas_out=params["conv2"]["w"].shape[0],
+    )
+
+
+def load_zoedepth_pt(path: str, with_config: bool = False):
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(blob, dict) and "model" in blob:
         blob = blob["model"]
-    return zoe_params_from_torch(blob)
+    params = zoe_params_from_torch(blob)
+    if with_config:
+        return params, zoe_config_from_params(params)
+    return params

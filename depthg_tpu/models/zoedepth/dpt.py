@@ -88,9 +88,13 @@ def dpt_forward(params: dict, taps: list, grid_hw: tuple, cfg: DPTConfig):
     for i, tok in enumerate(taps):
         cls = tok[:, :1]
         patches = tok[:, 1:]
-        readout = jnp.concatenate(
-            [patches, jnp.broadcast_to(cls, patches.shape)], axis=-1)
-        proj = jax.nn.gelu(linear(params["readout"][i], readout), approximate=False)
+        if params["readout"][i] is None:
+            # Slice readout variant (parameter-free, isl-org/MiDaS vit.py)
+            proj = patches
+        else:
+            readout = jnp.concatenate(
+                [patches, jnp.broadcast_to(cls, patches.shape)], axis=-1)
+            proj = jax.nn.gelu(linear(params["readout"][i], readout), approximate=False)
         fmap = jnp.transpose(proj, (0, 2, 1)).reshape(proj.shape[0], -1, h, w)
         fmap = conv2d(params["reassemble"][i]["project"], fmap)
         if i == 0:

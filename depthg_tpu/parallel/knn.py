@@ -30,18 +30,24 @@ def pooled_features(featurizer_params, img, fcfg, precision=None):
     return norm(pooled, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _topk_chunked(feats: jnp.ndarray, k: int, chunk: int):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _topk_chunked(feats: jnp.ndarray, k: int, chunk: int, precision=None):
     """[N, C] normalized -> [N, k] nearest-neighbor indices (self included)."""
-    return _topk_inner(feats, feats, k, chunk)
+    return _topk_inner(feats, feats, k, chunk, precision=precision)
 
 
-def topk_neighbors(feats, k: int = 30, chunk: int = 1024, mesh=None) -> np.ndarray:
+def topk_neighbors(feats, k: int = 30, chunk: int = 1024, mesh=None,
+                   precision: str | None = None) -> np.ndarray:
     """Top-k cosine neighbors for every row. ``mesh``: optional Mesh to shard
-    the query dimension across devices (keys stay replicated)."""
+    the query dimension across devices (keys stay replicated).
+
+    ``precision``: None = MXU default (bf16 multiply, f32 accumulate — fine
+    for training, where a random neighbor of rank 1..k is drawn anyway);
+    "highest" for index-exact parity with an f32 reference (near-ties in the
+    cosine sims otherwise reorder under bf16 rounding)."""
     feats = jnp.asarray(feats)
     if mesh is None or mesh.devices.size == 1:
-        return np.asarray(_topk_chunked(feats, k, chunk))
+        return np.asarray(_topk_chunked(feats, k, chunk, precision))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -56,19 +62,22 @@ def topk_neighbors(feats, k: int = 30, chunk: int = 1024, mesh=None) -> np.ndarr
     def sharded(keys):
         queries = jax.lax.with_sharding_constraint(
             keys, NamedSharding(mesh, P("data")))
-        return _topk_inner(queries, keys, k, chunk, valid_n=n)
+        return _topk_inner(queries, keys, k, chunk, valid_n=n,
+                           precision=precision)
 
     idx = sharded(padded)
     return np.asarray(idx)[:n]
 
 
-def _topk_inner(queries, keys, k, chunk, valid_n=None):
+def _topk_inner(queries, keys, k, chunk, valid_n=None, precision=None):
     nq, c = queries.shape
     pad = (-nq) % chunk
     q = jnp.pad(queries, ((0, pad), (0, 0))).reshape(-1, chunk, c)
 
     def one_chunk(qb):
-        sims = jnp.einsum("qc,nc->qn", qb, keys, preferred_element_type=jnp.float32)
+        sims = jnp.einsum("qc,nc->qn", qb, keys,
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
         if valid_n is not None and valid_n < keys.shape[0]:
             # zero-padded key rows must never win the top-k (their cosine sim
             # of exactly 0 outranks negative real similarities)
