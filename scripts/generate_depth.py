@@ -6,15 +6,19 @@ inference (pad + flip TTA), min-max normalize to 8-bit and save
 ``{output_dir}/{parent_folder}/{stem}_{model}.png`` — the filename scheme the
 data layer consumes (``depth/{split}/{id}_zoedepth.png`` etc.).
 
+``--model midas`` runs the real MiDaS DPT_Large (ViT-L/16,
+``models/midas_dpt.py`` — the model the reference pulls from torch.hub at
+``generate_depth.py:97-113``) on RAW un-normalized images, exactly as the
+reference calls ``midas(images)`` (``generate_depth.py:166``); its output is
+min-max normalized and INVERTED (``generate_depth.py:190-197``).
+
 Differences by design:
 * the reference's output path handling is buggy when ``--save_features`` is
   off (it writes next to the source image); here outputs always land under
   ``--output_dir`` with the ``_{model}`` suffix;
-* ``--model midas`` uses the same DPT-BEiT-L relative-depth head (the
-  reference downloads a separate DPT_Large via torch.hub, impossible without
-  egress); output is min-max normalized and inverted as in the reference;
-* weights: pass ``--weights /path/to/ZoeD_M12_N.pt`` (zero-egress: no
-  download). Without weights the script refuses unless ``--allow_random``.
+* weights: pass ``--weights /path/to/ZoeD_M12_N.pt`` (zoedepth) or
+  ``/path/to/dpt_large-midas-2f21e586.pt`` (midas); zero-egress: no
+  download. Without weights the script refuses unless ``--allow_random``.
 """
 
 import argparse
@@ -95,25 +99,54 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from depthg_tpu.models.zoedepth import ZoeConfig, zoedepth_infer, zoedepth_init
-    from depthg_tpu.models.zoedepth.convert import load_zoedepth_pt
     from depthg_tpu.utils.ckpt import to_jax
 
-    cfg = ZoeConfig()
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    if args.weights and os.path.exists(args.weights):
-        params = to_jax(load_zoedepth_pt(args.weights), dtype=dtype)
-    elif args.allow_random:
-        print("WARNING: running with RANDOM ZoeDepth weights (smoke test only).")
-        params = zoedepth_init(jax.random.PRNGKey(0), cfg, dtype)
-    else:
-        raise SystemExit("No --weights given (this environment cannot download "
-                         "ZoeD_M12_N.pt). Pass --weights or --allow_random.")
 
-    @jax.jit
-    def infer(p, x):
-        depth, feats = zoedepth_infer(p, x.astype(dtype), cfg, return_feats=True)
-        return depth.astype(jnp.float32), feats.astype(jnp.float32)
+    if args.model == "midas":
+        from depthg_tpu.models.midas_dpt import (
+            MidasDPTConfig,
+            load_midas_dpt,
+            midas_dpt_forward,
+            midas_dpt_init,
+        )
+
+        if args.weights and os.path.exists(args.weights):
+            params, mcfg = load_midas_dpt(args.weights)
+            params = to_jax(params, dtype=dtype)
+        elif args.allow_random:
+            print("WARNING: running with RANDOM DPT_Large weights (smoke test only).")
+            mcfg = MidasDPTConfig()
+            params = midas_dpt_init(jax.random.PRNGKey(0), mcfg, dtype)
+        else:
+            raise SystemExit("No --weights given (this environment cannot download "
+                             "dpt_large-midas-2f21e586.pt). Pass --weights or "
+                             "--allow_random.")
+
+        @jax.jit
+        def infer(p, x):
+            # raw 0..1 input, single forward — reference generate_depth.py:166
+            depth, hooks = midas_dpt_forward(p, x.astype(dtype), mcfg)
+            return depth[:, None].astype(jnp.float32), hooks["out_conv"].astype(jnp.float32)
+    else:
+        from depthg_tpu.models.zoedepth import ZoeConfig, zoedepth_infer, zoedepth_init
+        from depthg_tpu.models.zoedepth.convert import load_zoedepth_pt
+
+        cfg = ZoeConfig()
+        if args.weights and os.path.exists(args.weights):
+            params, cfg = load_zoedepth_pt(args.weights, with_config=True)
+            params = to_jax(params, dtype=dtype)
+        elif args.allow_random:
+            print("WARNING: running with RANDOM ZoeDepth weights (smoke test only).")
+            params = zoedepth_init(jax.random.PRNGKey(0), cfg, dtype)
+        else:
+            raise SystemExit("No --weights given (this environment cannot download "
+                             "ZoeD_M12_N.pt). Pass --weights or --allow_random.")
+
+        @jax.jit
+        def infer(p, x):
+            depth, feats = zoedepth_infer(p, x.astype(dtype), cfg, return_feats=True)
+            return depth.astype(jnp.float32), feats.astype(jnp.float32)
 
     out_root = Path(args.output_dir)
     n = 0

@@ -55,6 +55,42 @@ def make_directory_dataset(root, n=6, size=48, n_classes=5, seed=0):
     return root
 
 
+def dpt_torch_state_dict(dp, scratch="scratch.", post="pretrained.act_postprocess"):
+    """MiDaS DPT decoder params -> torch-hub-shaped state dict fragment
+    (shared by the ZoeDepth core layout and the standalone DPT_Large layout,
+    which differ only in key prefixes)."""
+    import torch
+
+    def t(a):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(a)))
+
+    sd = {}
+    for i in range(4):
+        if dp["readout"][i] is not None:
+            sd[f"{post}{i+1}.0.project.0.weight"] = t(np.asarray(dp["readout"][i]["w"]).T)
+            sd[f"{post}{i+1}.0.project.0.bias"] = t(dp["readout"][i]["b"])
+        sd[f"{post}{i+1}.3.weight"] = t(dp["reassemble"][i]["project"]["w"])
+        sd[f"{post}{i+1}.3.bias"] = t(dp["reassemble"][i]["project"]["b"])
+    for i in (0, 1, 3):
+        sd[f"{post}{i+1}.4.weight"] = t(dp["reassemble"][i]["resample"]["w"])
+        sd[f"{post}{i+1}.4.bias"] = t(dp["reassemble"][i]["resample"]["b"])
+    for i in range(4):
+        sd[f"{scratch}layer{i+1}_rn.weight"] = t(dp["rn"][i]["w"])
+    for j, rid in enumerate([4, 3, 2, 1]):
+        fu = dp["fusion"][j]
+        for name, rcu in (("resConfUnit1", fu["rcu1"]), ("resConfUnit2", fu["rcu2"])):
+            for cname in ("conv1", "conv2"):
+                sd[f"{scratch}refinenet{rid}.{name}.{cname}.weight"] = t(rcu[cname]["w"])
+                sd[f"{scratch}refinenet{rid}.{name}.{cname}.bias"] = t(rcu[cname]["b"])
+        sd[f"{scratch}refinenet{rid}.out_conv.weight"] = t(fu["out"]["w"])
+        sd[f"{scratch}refinenet{rid}.out_conv.bias"] = t(fu["out"]["b"])
+    for i, name in ((0, "output_conv.0"), (2, "output_conv.2"), (4, "output_conv.4")):
+        hp = dp["head"][f"conv{i//2+1}"]
+        sd[f"{scratch}{name}.weight"] = t(hp["w"])
+        sd[f"{scratch}{name}.bias"] = t(hp["b"])
+    return sd
+
+
 def zoe_torch_state_dict(params, cfg, module_prefix=False):
     """Build a released-checkpoint-shaped torch state dict from depthg_tpu
     ZoeDepth params (key layout of ZoeD_M12_N.pt; see models/zoedepth/convert).
@@ -92,32 +128,9 @@ def zoe_torch_state_dict(params, cfg, module_prefix=False):
         sd[p + "gamma_1"] = t(blk["gamma_1"])
         sd[p + "gamma_2"] = t(blk["gamma_2"])
 
-    scratch = mp + "core.core.scratch."
-    post = mp + "core.core.pretrained.act_postprocess"
-    dp = params["dpt"]
-    for i in range(4):
-        if dp["readout"][i] is not None:
-            sd[f"{post}{i+1}.0.project.0.weight"] = t(np.asarray(dp["readout"][i]["w"]).T)
-            sd[f"{post}{i+1}.0.project.0.bias"] = t(dp["readout"][i]["b"])
-        sd[f"{post}{i+1}.3.weight"] = t(dp["reassemble"][i]["project"]["w"])
-        sd[f"{post}{i+1}.3.bias"] = t(dp["reassemble"][i]["project"]["b"])
-    for i in (0, 1, 3):
-        sd[f"{post}{i+1}.4.weight"] = t(dp["reassemble"][i]["resample"]["w"])
-        sd[f"{post}{i+1}.4.bias"] = t(dp["reassemble"][i]["resample"]["b"])
-    for i in range(4):
-        sd[f"{scratch}layer{i+1}_rn.weight"] = t(dp["rn"][i]["w"])
-    for j, rid in enumerate([4, 3, 2, 1]):
-        fu = dp["fusion"][j]
-        for name, rcu in (("resConfUnit1", fu["rcu1"]), ("resConfUnit2", fu["rcu2"])):
-            for cname in ("conv1", "conv2"):
-                sd[f"{scratch}refinenet{rid}.{name}.{cname}.weight"] = t(rcu[cname]["w"])
-                sd[f"{scratch}refinenet{rid}.{name}.{cname}.bias"] = t(rcu[cname]["b"])
-        sd[f"{scratch}refinenet{rid}.out_conv.weight"] = t(fu["out"]["w"])
-        sd[f"{scratch}refinenet{rid}.out_conv.bias"] = t(fu["out"]["b"])
-    for i, name in ((0, "output_conv.0"), (2, "output_conv.2"), (4, "output_conv.4")):
-        hp = dp["head"][f"conv{i//2+1}"]
-        sd[f"{scratch}{name}.weight"] = t(hp["w"])
-        sd[f"{scratch}{name}.bias"] = t(hp["b"])
+    sd.update(dpt_torch_state_dict(params["dpt"],
+                                   scratch=mp + "core.core.scratch.",
+                                   post=mp + "core.core.pretrained.act_postprocess"))
 
     def put_mlp(prefix, mlp):
         for slot, conv in zip((0, 2), mlp):
