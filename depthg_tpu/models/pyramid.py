@@ -124,6 +124,195 @@ def resnet50_from_torch(sd: dict) -> dict:
     return params
 
 
+# ---------------- VGG-11 (load_model "vgg11") ----------------
+
+_VGG11_CFG = [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"]
+
+
+def vgg11_init(key: jax.Array, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 16))
+    convs = []
+    in_ch = 3
+    for v in _VGG11_CFG:
+        if v == "M":
+            continue
+        convs.append(conv_init(next(keys), in_ch, v, 3, dtype))
+        in_ch = v
+    return {"convs": convs}
+
+
+def _max_pool_2x2(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 1, 2, 2),
+                                 (1, 1, 2, 2), "VALID")
+
+
+def vgg11_features(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """torchvision vgg11.features forward -> [B, 512, H/32, W/32]."""
+    ci = 0
+    for v in _VGG11_CFG:
+        if v == "M":
+            x = _max_pool_2x2(x)
+        else:
+            x = jax.nn.relu(conv2d(params["convs"][ci], x, padding=1))
+            ci += 1
+    return x
+
+
+def vgg11_from_torch(sd: dict) -> dict:
+    def np_(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    idxs = sorted({int(k.split(".")[1]) for k in sd
+                   if k.startswith("features.") and k.endswith(".weight")})
+    return {"convs": [{"w": np_(sd[f"features.{i}.weight"]),
+                       "b": np_(sd[f"features.{i}.bias"])} for i in idxs]}
+
+
+# ---------------- DenseNet-121 (load_model "densenet121") ----------------
+
+_DN121_BLOCKS = (6, 12, 24, 16)
+_DN_GROWTH = 32
+
+
+def densenet121_init(key: jax.Array, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 256))
+    params: dict = {"conv0": conv_init(next(keys), 3, 64, 7, dtype, bias=False),
+                    "norm0": _bn_init(64), "blocks": [], "transitions": []}
+    ch = 64
+    for bi, n_layers in enumerate(_DN121_BLOCKS):
+        block = []
+        for _ in range(n_layers):
+            block.append({
+                "norm1": _bn_init(ch),
+                "conv1": conv_init(next(keys), ch, 4 * _DN_GROWTH, 1, dtype, bias=False),
+                "norm2": _bn_init(4 * _DN_GROWTH),
+                "conv2": conv_init(next(keys), 4 * _DN_GROWTH, _DN_GROWTH, 3, dtype, bias=False),
+            })
+            ch += _DN_GROWTH
+        params["blocks"].append(block)
+        if bi < len(_DN121_BLOCKS) - 1:
+            params["transitions"].append({
+                "norm": _bn_init(ch),
+                "conv": conv_init(next(keys), ch, ch // 2, 1, dtype, bias=False)})
+            ch //= 2
+    params["norm5"] = _bn_init(ch)
+    return params
+
+
+def _avg_pool_2x2(x):
+    return jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 1, 2, 2),
+                                 (1, 1, 2, 2), "VALID") / 4.0
+
+
+def densenet121_features(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """torchvision densenet121.features -> [B, 1024, H/32, W/32].
+
+    Reference quirk preserved: ``Sequential(*children[:-1] + [AvgPool])``
+    (``src/utils.py:114-116``) drops the ReLU that torchvision's own
+    ``forward`` applies after ``norm5`` — so no trailing ReLU here either.
+    """
+    x = batch_norm(params["norm0"], conv2d(params["conv0"], x, stride=2, padding=3))
+    x = _max_pool_3x3_s2(jax.nn.relu(x))
+    for bi, block in enumerate(params["blocks"]):
+        for layer in block:
+            h = conv2d(layer["conv1"], jax.nn.relu(batch_norm(layer["norm1"], x)))
+            h = conv2d(layer["conv2"], jax.nn.relu(batch_norm(layer["norm2"], h)), padding=1)
+            x = jnp.concatenate([x, h], axis=1)
+        if bi < len(params["transitions"]):
+            tr = params["transitions"][bi]
+            x = _avg_pool_2x2(conv2d(tr["conv"], jax.nn.relu(batch_norm(tr["norm"], x))))
+    return batch_norm(params["norm5"], x)
+
+
+def densenet121_from_torch(sd: dict) -> dict:
+    def np_(t):
+        return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+    def bn(prefix):
+        return {"g": np_(sd[prefix + ".weight"]), "b": np_(sd[prefix + ".bias"]),
+                "mean": np_(sd[prefix + ".running_mean"]),
+                "var": np_(sd[prefix + ".running_var"])}
+
+    f = "features."
+    params: dict = {"conv0": {"w": np_(sd[f + "conv0.weight"])},
+                    "norm0": bn(f + "norm0"), "blocks": [], "transitions": []}
+    for bi, n_layers in enumerate(_DN121_BLOCKS, start=1):
+        block = []
+        for li in range(1, n_layers + 1):
+            p = f"{f}denseblock{bi}.denselayer{li}"
+            block.append({"norm1": bn(p + ".norm1"),
+                          "conv1": {"w": np_(sd[p + ".conv1.weight"])},
+                          "norm2": bn(p + ".norm2"),
+                          "conv2": {"w": np_(sd[p + ".conv2.weight"])}})
+        params["blocks"].append(block)
+        if bi < len(_DN121_BLOCKS):
+            p = f"{f}transition{bi}"
+            params["transitions"].append({"norm": bn(p + ".norm"),
+                                          "conv": {"w": np_(sd[p + ".conv.weight"])}})
+    params["norm5"] = bn(f + "norm5")
+    return params
+
+
+# ---------------- load_model (reference src/utils.py:68-124) ----------------
+
+_MODEL_FILES = {
+    "robust_resnet50": "imagenet_l2_3_0.pt",
+    "densecl": "densecl_r50_coco_1600ep.pth",
+    "mocov2": "moco_v2_800ep_pretrain.pth.tar",
+    "resnet50": "resnet50-0676ba61.pth",       # torchvision IMAGENET1K_V1
+    "densenet121": "densenet121-a639ec97.pth",
+    "vgg11": "vgg11-8a719046.pth",
+}
+
+
+def load_model(model_type: str, data_dir: str):
+    """Reference ``load_model`` equivalent: returns (params, features_fn,
+    n_feats). ``features_fn(params, x)`` yields the pre-pool feature map;
+    global pooling (``model(img).mean([2,3])`` in precompute_knns) is the
+    caller's. Weight files must already be in ``data_dir`` (zero egress —
+    the reference wget-downloads them, src/utils.py:72-101).
+
+    Each checkpoint's key-layout quirk is reproduced: robust_resnet50 stores
+    {"model": {...'model.'-containing keys...}}, mocov2 under
+    ``module.encoder_q.``, densecl plainly under ``state_dict``.
+    """
+    import os
+    from os.path import join
+
+    import torch
+
+    path = join(data_dir, _MODEL_FILES.get(model_type, ""))
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"{model_type} weights not found at {path}; the reference downloads "
+            f"them (src/utils.py:68-124) but this environment has no egress — "
+            f"place the file there manually")
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+
+    if model_type == "robust_resnet50":
+        sd = {name.split("model.")[1]: v for name, v in blob["model"].items()
+              if "model" in name}
+        return resnet50_from_torch(sd), resnet50_last_features, 2048
+    if model_type == "mocov2":
+        sd = {k[len("module.encoder_q."):]: v
+              for k, v in blob["state_dict"].items()
+              if k.startswith("module.encoder_q") and not k.startswith("module.encoder_q.fc")}
+        return resnet50_from_torch(sd), resnet50_last_features, 2048
+    if model_type == "densecl":
+        return resnet50_from_torch(blob["state_dict"]), resnet50_last_features, 2048
+    if model_type == "resnet50":
+        return resnet50_from_torch(blob), resnet50_last_features, 2048
+    if model_type == "densenet121":
+        return densenet121_from_torch(blob), densenet121_features, 1024
+    if model_type == "vgg11":
+        return vgg11_from_torch(blob), vgg11_features, 512
+    raise ValueError(f"No model: {model_type} found")
+
+
+def resnet50_last_features(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return resnet50_activations(params, x, layer_nums=(7,))[7]
+
+
 # ---------------- FeaturePyramidNet ----------------
 
 @dataclasses.dataclass(frozen=True)

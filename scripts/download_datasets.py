@@ -24,6 +24,13 @@ def main(argv=None):
     data_dir = cfg.data_dir
     names = list(cfg.get("download_datasets", DATASETS))
     os.makedirs(data_dir, exist_ok=True)
+    if "nyuv2" in names:
+        # NYUv2 ships as separate rgb/seg13/sn/depth archives with its own
+        # prep pipeline (reference src/data.py:1144-1277)
+        from depthg_tpu.data.nyuv2_prep import prepare_nyuv2
+
+        names.remove("nyuv2")
+        prepare_nyuv2(join(data_dir, "nyuv2"))
     for name in names:
         target = join(data_dir, name + ".zip")
         if os.path.exists(join(data_dir, name)) or os.path.exists(target):

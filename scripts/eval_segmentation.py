@@ -126,20 +126,34 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
         lin, clu = predict(params, img)
         lin, clu = np.asarray(lin), np.asarray(clu)
         clu_mapped = cluster_metrics.map_clusters(clu)
-        for j in range(min(img.shape[0], int(cfg.get("n_images", 8)))):
+        n_show = min(img.shape[0], int(cfg.get("n_images", 8)))
+        rgbs, label_rgb, clu_rgb, lin_rgb = [], [], [], []
+        for j in range(n_show):
             rgb = np.clip(unnormalize(img[j]) * 255, 0, 255).astype(np.uint8).transpose(1, 2, 0)
+            rgbs.append(rgb)
+            label_rgb.append(cmap[np.maximum(batch["label"][j], 0)].astype(np.uint8))
+            clu_rgb.append(cmap[np.maximum(clu_mapped[j], 0)].astype(np.uint8))
+            lin_rgb.append(cmap[lin[j]].astype(np.uint8))
             Image.fromarray(rgb).save(join(result_dir, "img", f"{j}.jpg"))
-            Image.fromarray(cmap[np.maximum(batch["label"][j], 0)].astype(np.uint8)).save(
-                join(result_dir, "label", f"{j}.png"))
-            Image.fromarray(cmap[np.maximum(clu_mapped[j], 0)].astype(np.uint8)).save(
-                join(result_dir, "cluster", f"{j}.png"))
-            Image.fromarray(cmap[lin[j]].astype(np.uint8)).save(
-                join(result_dir, "linear", f"{j}.png"))
+            Image.fromarray(label_rgb[-1]).save(join(result_dir, "label", f"{j}.png"))
+            Image.fromarray(clu_rgb[-1]).save(join(result_dir, "cluster", f"{j}.png"))
+            Image.fromarray(lin_rgb[-1]).save(join(result_dir, "linear", f"{j}.png"))
         np.savez(join(result_dir, "confusion.npz"),
                  cluster=cluster_metrics.stats, linear=linear_metrics.stats)
+        from depthg_tpu.utils.figures import confusion_matrix_figure, prediction_grid
         from depthg_tpu.utils.metrics import confusion_heatmap_png
 
         confusion_heatmap_png(cluster_metrics.stats, join(result_dir, "confusion.png"))
+        # reference-style matplotlib figures (eval_segmentation.py:19-42,205-247)
+        prediction_grid(rgbs, label_rgb, clu_rgb, lin_rgb, cmap,
+                        join(result_dir, "prediction_grid.png"),
+                        dark_mode=bool(cfg.get("dark_mode", False)))
+        try:
+            confusion_matrix_figure(cluster_metrics.stats, dataset_name, cmap,
+                                    join(result_dir, "confusion_matrix.png"),
+                                    extra_clusters)
+        except ValueError:
+            pass  # datasets without a reference class-name list
     return metrics
 
 
