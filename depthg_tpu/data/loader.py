@@ -40,6 +40,49 @@ def default_collate(items: list) -> dict:
     return out
 
 
+def device_prefetch(iterator, place_fn, depth: int = 2):
+    """Double-buffer host->HBM: keep ``depth`` batches placed on device ahead
+    of the consumer, so the transfer of batch k+1 runs while step k computes
+    (``jax.device_put`` is asynchronous). ``place_fn(host_batch)`` does the
+    device placement (e.g. ``mesh.shard_batch`` after dtype fixes).
+
+    The staging runs on a thread: even when the runtime serializes transfers
+    with compute (observed on tunneled single-chip setups), the host-side
+    work — dtype casts, ndarray assembly, dispatch bookkeeping — still
+    overlaps the device step.
+    """
+    import queue as _queue
+    import threading as _threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    stop = _threading.Event()
+
+    def stage():
+        try:
+            for batch in iterator:
+                if stop.is_set():
+                    return
+                q.put(place_fn(batch))
+        finally:
+            q.put(None)
+
+    t = _threading.Thread(target=stage, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+    finally:
+        stop.set()
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break
+
+
 class DataLoader:
     """Iterable over collated batches with threaded prefetch.
 

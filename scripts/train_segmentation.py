@@ -286,8 +286,13 @@ def main(argv=None):
     step_num = start_step
     t_last = time.time()
     pending_logs = None
+    from depthg_tpu.data.loader import device_prefetch
+
     while step_num < cfg.max_steps:
-        for batch in train_loader:
+        # double-buffered host->HBM staging: batch k+1 transfers while step k
+        # runs (device_put is async; staging thread overlaps the host work)
+        for batch in device_prefetch(iter(train_loader), device_batch,
+                                     depth=int(cfg.get("device_prefetch", 2))):
             if step_num >= cfg.max_steps:
                 break
             mode, s = decay_lib.sampling_schedule(dcfg, step_num)
@@ -297,7 +302,7 @@ def main(argv=None):
             hist_freq = cfg.get("hist_freq")
             want_hist = (tb_writer is not None and hist_freq
                          and step_num > 0 and step_num % int(hist_freq) == 0)
-            state, logs = jstep(state, device_batch(batch), key, w, sh, mode, s,
+            state, logs = jstep(state, batch, key, w, sh, mode, s,
                                 hist=bool(want_hist))
             step_num += 1
 
