@@ -105,8 +105,15 @@ def _bilateral_message(feats: jnp.ndarray, values: jnp.ndarray, block: int,
 
     def row_block(fb_sq):
         fb, sqb = fb_sq
-        # -||a-b||^2/2 = a.b - |a|^2/2 - |b|^2/2
-        cross = fb @ feats.T  # [B, N] matmul on MXU
+        # -||a-b||^2/2 = a.b - |a|^2/2 - |b|^2/2. The cross term is O(1e3)
+        # (rgb/3 ~ 80 squared, summed over 5 features) while logk needs
+        # ~0.1 absolute accuracy — the MXU's default bf16-input passes lose
+        # ~e^±3 of kernel mass here (silent on CPU tests, wrong on TPU; see
+        # docs/CRF_FIDELITY.md). Force full f32: the [B,5]x[5,N] matmul is
+        # depth-5, so HIGHEST costs nothing next to exp and k@values.
+        cross = jax.lax.dot_general(
+            fb, feats.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)  # [B, N]
         logk = cross - 0.5 * sqb[:, None] - 0.5 * sq[None, :]
         # k in the values' dtype: the [B, N] kernel block is the largest
         # intermediate and its entries live in [0, 1] — bf16-safe
