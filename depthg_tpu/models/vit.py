@@ -122,12 +122,15 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, npatch: int, w: int, h: int
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 
-def _flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
+def _flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+               n_valid: int | None = None) -> jnp.ndarray:
     """Fused flash attention (Pallas TPU kernel): the [N, N] softmax matrix
     never touches HBM. At eval shapes (N=1601, B=16) the XLA path writes
     ~3 GB of attention intermediates per layer; this kernel streams them
-    through VMEM. Sequence is padded to a lane multiple and masked out via
-    segment ids (padded keys get weight exactly 0)."""
+    through VMEM. The sequence must be a lane multiple — ``vit_apply`` pads
+    the token axis ONCE for the whole stack (cheaper than pad/unpad around
+    every layer); ``n_valid`` marks the real tokens, masked via segment ids
+    (padded keys get weight exactly 0)."""
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
     b, h, n, hd = q.shape
@@ -135,18 +138,29 @@ def _flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> 
     if npad != n:
         pad = ((0, 0), (0, 0), (0, npad - n), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    seg = (jnp.arange(npad) < n).astype(jnp.int32)[None].repeat(b, 0)
-    # measured on v5e @ N=1664: q-block 128 with the whole KV resident in
-    # VMEM (block_k = seq) beats the default 512/512 blocks ~2.3x
-    block_q = max(bq for bq in (512, 256, 128) if npad % bq == 0)
-    sizes = fa.BlockSizes(block_q=min(block_q, npad), block_k_major=npad,
+    nv = n if n_valid is None else n_valid
+    seg = (jnp.arange(npad) < nv).astype(jnp.int32)[None].repeat(b, 0)
+    # measured on v5e @ N=1664 (batch 16, h=6, hd=64): one whole-sequence
+    # program per (b, h) — block_q = block_k = seq — runs the attention in
+    # 1.2 ms vs 2.6 ms for q-block 128 and 10 ms for the splash kernel; the
+    # [seq, seq] f32 logits tile (11 MB at 1664) still fits VMEM. Above
+    # that, fall back to q-blocking with the whole KV resident (the [bq,
+    # seq] tile is what must fit).
+    if npad * npad * 4 <= 11.5e6:
+        block_q = npad
+    else:
+        budget = int(11.5e6 / (npad * 4)) // 128 * 128
+        block_q = max((bq for bq in (512, 256, 128) if npad % bq == 0
+                       and bq <= budget), default=128)
+    sizes = fa.BlockSizes(block_q=block_q, block_k_major=npad,
                           block_k=npad, block_b=1)
     out = fa.flash_attention(q, k, v, segment_ids=fa.SegmentIds(q=seg, kv=seg),
                              sm_scale=scale, block_sizes=sizes)
     return out[:, :, :n, :]
 
 
-def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla"):
+def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla",
+               n_valid: int | None = None):
     b, n, d = x.shape
     hd = d // cfg.num_heads
     qkv = linear(p["qkv"], x)  # [B, N, 3D]
@@ -155,7 +169,7 @@ def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla"):
     q, k, v = qkv[0], qkv[1], qkv[2]
     scale = hd ** -0.5
     if impl == "flash":
-        out = _flash_mha(q, k, v, scale)
+        out = _flash_mha(q, k, v, scale, n_valid)
         attn = None  # flash never materializes the attention matrix
     else:
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
@@ -166,8 +180,10 @@ def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla"):
     return linear(p["proj"], out), attn, qkv
 
 
-def _block(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla"):
-    y, attn, qkv = _attention(p, layer_norm(p["norm1"], x, cfg.ln_eps), cfg, impl)
+def _block(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla",
+           n_valid: int | None = None):
+    y, attn, qkv = _attention(p, layer_norm(p["norm1"], x, cfg.ln_eps), cfg,
+                              impl, n_valid)
     x = x + y
     h = layer_norm(p["norm2"], x, cfg.ln_eps)
     # torch nn.GELU is erf-exact; in bf16 the tanh approximation's error
@@ -214,12 +230,23 @@ def vit_apply(params: dict, x: jnp.ndarray, cfg: ViTConfig, n: int = 1,
     """
     with matmul_precision(precision):
         x = prepare_tokens(params, x, cfg)
+        n_tok = x.shape[1]
+        n_valid = None
+        if attn_impl == "flash" and n_tok % 128:
+            # pad the token axis ONCE for the whole stack instead of
+            # pad/unpad around every flash call (~1 ms/pass of pure copies
+            # at eval shapes). Padded tokens carry zeros; the flash segment
+            # mask gives them zero weight as keys, and every per-token op
+            # (layer norm, MLP) is independent across tokens, so they never
+            # contaminate real tokens. Sliced off before returning.
+            n_valid = n_tok
+            x = jnp.pad(x, ((0, 0), (0, (-n_tok) % 128), (0, 0)))
         feats, attns, qkvs = [], [], []
         depth = len(params["blocks"])
         for i, blk in enumerate(params["blocks"]):
-            x, attn, qkv = _block(blk, x, cfg, attn_impl)
+            x, attn, qkv = _block(blk, x, cfg, attn_impl, n_valid)
             if depth - i <= n:
-                feats.append(layer_norm(params["norm"], x, cfg.ln_eps))
+                feats.append(layer_norm(params["norm"], x, cfg.ln_eps)[:, :n_tok])
                 attns.append(attn)
-                qkvs.append(qkv)
+                qkvs.append(qkv if n_valid is None else qkv[..., :n_tok, :])
         return feats, attns, qkvs

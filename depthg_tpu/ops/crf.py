@@ -45,7 +45,10 @@ class CRFConfig:
     bi_xy_std: float = 67.0  # Bi_XY_STD
     bi_rgb_std: float = 3.0  # Bi_RGB_STD
     downsample: int = 2      # spatial reduction for the bilateral N^2 pass
-    block: int = 1024        # row-block size for the dense bilateral message
+    # row-block size for the bilateral tiles: 800 divides every standard
+    # coarse size (320^2/ds^2 for ds in {1,2,4}), so no tile padding
+    # (measured ~10% faster than 1024 at ds=4)
+    block: int = 800
     # mixed-resolution mode: run the mean field (unary + exact separable
     # Gaussian) at FULL resolution and only the O(N^2) bilateral message at
     # the downsampled resolution (sxy=67 makes it spatially smooth, so the
@@ -61,6 +64,15 @@ class CRFConfig:
     # "bfloat16" halves the traffic. The unary stays f32 and each iteration
     # re-softmaxes from it, so bf16 rounding doesn't accumulate.
     dtype: str = "float32"
+    # materialize the [N, N] bilateral kernel once (exp is the dominant
+    # cost — VPU transcendental-bound) and run the 10 mean-field messages
+    # as pure MXU matmuls against it, when the per-image kernel fits this
+    # budget (MB): 82 MB/image bf16 at downsample=4, 1.25 GB at
+    # downsample=2 (the batch wrappers switch vmap -> lax.map when the
+    # batched kernels exceed ~3 GB total; 2.6 GB f32 at ds=2 still caches
+    # — sequential per-image peak, not batched). downsample=1 (42 GB)
+    # streams tiles as before. 0 disables caching entirely.
+    kernel_cache_mb: int = 2700
 
 
 @functools.lru_cache(maxsize=None)
@@ -74,9 +86,14 @@ def _gauss_band(n: int, sigma: float) -> np.ndarray:
 def _gaussian_filter(q: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Exact separable Gaussian kernel application; q: [C, H, W].
 
-    Two dense banded matmuls on the MXU. (A depthwise 11-tap conv is
-    algebraically identical and 20x fewer FLOPs, but measured 35% *slower*
-    end-to-end on v5e — single-channel convs can't feed the MXU.)
+    Two dense banded matmuls on the MXU. The kernel support is only ~11
+    taps at sigma=1, so this looks wasteful, but both cheaper formulations
+    LOSE on v5e (measured): a depthwise 11-tap conv is 20x fewer FLOPs yet
+    35% slower end-to-end (single-channel convs can't feed the MXU), and
+    band-blocked [blk, blk+2r] matmuls (4x fewer FLOPs at blk=80) are ~25%
+    slower (tiles below the 128x128 MXU shape waste the systolic array,
+    and the overlapping-slab gather adds HBM traffic). Dense [n, n] at
+    n=320 keeps the MXU saturated.
     """
     h, w = q.shape[-2:]
     gh = jnp.asarray(_gauss_band(h, sigma), q.dtype)
@@ -87,9 +104,16 @@ def _gaussian_filter(q: jnp.ndarray, sigma: float) -> jnp.ndarray:
 
 def _bilateral_message(feats: jnp.ndarray, values: jnp.ndarray, block: int,
                        use_pallas: bool = False) -> jnp.ndarray:
-    """K @ values with k_ij = exp(-||f_i - f_j||^2 / 2), blockwise.
+    """K @ values with k_ij = exp(-||f_i - f_j||^2 / 2), blockwise + symmetric.
 
     feats: [N, F] (already divided by their sigmas), values: [N, C].
+
+    The kernel is symmetric, so each off-diagonal [block, block] tile is
+    computed ONCE and applied both ways (K tile to the row blocks, its
+    transpose to the column blocks) — ~2x fewer exp evaluations, which
+    dominate the cost (the mean field is VPU-transcendental-bound, measured
+    v5e). Tiles are batched per block-diagonal so each offset is one vmapped
+    exp + two batched matmuls on the MXU.
     """
     if use_pallas:
         from depthg_tpu.ops.crf_pallas import bilateral_message_pallas, pallas_supported
@@ -101,29 +125,77 @@ def _bilateral_message(feats: jnp.ndarray, values: jnp.ndarray, block: int,
     pad = (-n) % block
     feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
     sq = jnp.sum(feats * feats, axis=1)  # [N]
-    sq_p = jnp.pad(sq, (0, pad), constant_values=jnp.inf)  # padded rows → zero kernel
+    # padded rows → zero kernel both ways (logk = -inf), zero values
+    sq_p = jnp.pad(sq, (0, pad), constant_values=jnp.inf)
+    values_p = jnp.pad(values, ((0, pad), (0, 0)))
 
-    def row_block(fb_sq):
-        fb, sqb = fb_sq
+    nb = feats_p.shape[0] // block
+    fb = feats_p.reshape(nb, block, f)
+    sqb = sq_p.reshape(nb, block)
+    vb = values_p.reshape(nb, block, c)
+
+    def tile(fa, sa, fbj, sbj):
         # -||a-b||^2/2 = a.b - |a|^2/2 - |b|^2/2. The cross term is O(1e3)
         # (rgb/3 ~ 80 squared, summed over 5 features) while logk needs
         # ~0.1 absolute accuracy — the MXU's default bf16-input passes lose
         # ~e^±3 of kernel mass here (silent on CPU tests, wrong on TPU; see
-        # docs/CRF_FIDELITY.md). Force full f32: the [B,5]x[5,N] matmul is
+        # docs/CRF_FIDELITY.md). Force full f32: the [B,5]x[5,B] matmul is
         # depth-5, so HIGHEST costs nothing next to exp and k@values.
         cross = jax.lax.dot_general(
-            fb, feats.T, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)  # [B, N]
-        logk = cross - 0.5 * sqb[:, None] - 0.5 * sq[None, :]
-        # k in the values' dtype: the [B, N] kernel block is the largest
+            fa, fbj.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)  # [B, B]
+        logk = cross - 0.5 * sa[:, None] - 0.5 * sbj[None, :]
+        # k in the values' dtype: the kernel tile is the largest
         # intermediate and its entries live in [0, 1] — bf16-safe
-        k = jnp.exp(logk).astype(values.dtype)
-        return k @ values  # [B, C]
+        return jnp.exp(logk).astype(values.dtype)
 
-    blocks_f = feats_p.reshape(-1, block, f)
-    blocks_sq = sq_p.reshape(-1, block)
-    out = jax.lax.map(row_block, (blocks_f, blocks_sq))
+    out = jnp.zeros((nb, block, c), values.dtype)
+    for d in range(nb):
+        m = nb - d
+        k = jax.vmap(tile)(fb[:m], sqb[:m], fb[d:], sqb[d:])  # [m, B, B]
+        out = out.at[:m].add(jnp.einsum("mij,mjc->mic", k, vb[d:]))
+        if d:
+            out = out.at[d:].add(jnp.einsum("mij,mic->mjc", k, vb[:m]))
     return out.reshape(-1, c)[:n]
+
+
+def _bilateral_kernel(feats: jnp.ndarray, block: int, dtype) -> jnp.ndarray:
+    """Materialized [N, N] kernel k_ij = exp(-||f_i - f_j||^2 / 2).
+
+    Built tile-wise with the same symmetric/HIGHEST-precision math as
+    ``_bilateral_message`` (each off-diagonal tile exp'd once, written both
+    ways). Entries live in [0, 1] so bf16 storage is safe. With the kernel
+    resident, every mean-field message is one [N, N] x [N, C] MXU matmul —
+    the exp cost (the VPU-bound dominant term) is paid once instead of
+    once per message (10 iterations + degree), measured ~2.5x faster at
+    downsample=4 on v5e.
+    """
+    n, f = feats.shape
+    pad = (-n) % block
+    feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
+    sq = jnp.sum(feats * feats, axis=1)
+    sq_p = jnp.pad(sq, (0, pad), constant_values=jnp.inf)
+
+    nb = feats_p.shape[0] // block
+    fb = feats_p.reshape(nb, block, f)
+    sqb = sq_p.reshape(nb, block)
+
+    def tile(fa, sa, fbj, sbj):
+        cross = jax.lax.dot_general(
+            fa, fbj.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        logk = cross - 0.5 * sa[:, None] - 0.5 * sbj[None, :]
+        return jnp.exp(logk).astype(dtype)
+
+    kmat = jnp.zeros((nb, block, nb, block), dtype)
+    for d in range(nb):
+        m = nb - d
+        k = jax.vmap(tile)(fb[:m], sqb[:m], fb[d:], sqb[d:])  # [m, B, B]
+        idx = jnp.arange(m)
+        kmat = kmat.at[idx, :, idx + d, :].set(k)
+        if d:
+            kmat = kmat.at[idx + d, :, idx, :].set(jnp.swapaxes(k, -1, -2))
+    return kmat.reshape(nb * block, nb * block)[:n, :n]
 
 
 def _bilateral_features(image: jnp.ndarray, ccfg: CRFConfig, ds: int) -> jnp.ndarray:
@@ -168,16 +240,22 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
 
     # bilateral (appearance) kernel state at the coarse working resolution
     bf = _bilateral_features(image_d, ccfg, ds)
-    ones = jnp.ones((hd * wd, 1), jnp.float32)
-    deg_bi = _bilateral_message(bf, ones, ccfg.block, ccfg.use_pallas)[:, 0]
-    inv_sqrt_deg_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
-
     dt = jnp.bfloat16 if ccfg.dtype == "bfloat16" else jnp.float32
+    n_coarse = hd * wd
+    cache_kernel = _kernel_cache_bytes(n_coarse, ccfg) is not None
+    if cache_kernel:
+        kmat = _bilateral_kernel(bf, ccfg.block, dt)
+        deg_bi = (kmat @ jnp.ones((n_coarse, 1), dt))[:, 0].astype(jnp.float32)
+    else:
+        ones = jnp.ones((n_coarse, 1), jnp.float32)
+        deg_bi = _bilateral_message(bf, ones, ccfg.block, ccfg.use_pallas)[:, 0]
+    inv_sqrt_deg_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
 
     def bilateral(q_coarse):
         c = q_coarse.shape[0]
         z = (q_coarse.reshape(c, -1) * inv_sqrt_deg_bi[None].astype(dt)).T  # [Nc, C]
-        mb = _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas).T
+        mb = (kmat @ z).T if cache_kernel else \
+            _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas).T
         return (mb * inv_sqrt_deg_bi[None].astype(dt)).reshape(c, hd, wd)
 
     def blockwise_softmax(x):
@@ -199,8 +277,11 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
 
         def mf_iter(_, q):
             mg = _gaussian_filter(q * isd, gauss_sigma) * isd
-            q_coarse = resize_bilinear(q[None], (hd, wd))[0]
-            mb = resize_bilinear(bilateral(q_coarse)[None], (h, w))[0]
+            # fast (native-dtype, default-precision) resizes: q lives in
+            # [0, 1] and each iteration re-softmaxes from the f32 unary, so
+            # per-iteration rounding cannot accumulate (docs/CRF_FIDELITY.md)
+            q_coarse = resize_bilinear(q[None], (hd, wd), fast=True)[0]
+            mb = resize_bilinear(bilateral(q_coarse)[None], (h, w), fast=True)[0]
             return blockwise_softmax(log_unary + ccfg.pos_w * mg.astype(jnp.float32)
                                      + ccfg.bi_w * mb.astype(jnp.float32))
 
@@ -232,6 +313,35 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
     return jnp.split(q, splits, axis=0)
 
 
+def _kernel_cache_bytes(n_coarse: int, ccfg: CRFConfig) -> int | None:
+    """Per-image bytes of a materialized kernel, or None if caching is off."""
+    itemsize = 2 if ccfg.dtype == "bfloat16" else 4
+    nbytes = n_coarse * n_coarse * itemsize
+    if ccfg.kernel_cache_mb > 0 and not ccfg.use_pallas \
+            and nbytes <= ccfg.kernel_cache_mb * 2**20:
+        return nbytes
+    return None
+
+
+def _batch_apply(fn, images, ccfg: CRFConfig, *batched_args):
+    """vmap normally; switch to lax.map (one image at a time) when the
+    batch of materialized kernels would not fit the vmap budget — e.g.
+    downsample=2 at 320px caches a 1.25 GB bf16 kernel per image, which is
+    fine sequentially but not replicated across a batch of 16."""
+    b = images.shape[0]
+    ds = ccfg.downsample
+    h, w = images.shape[-2:]
+    hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
+    per_img = _kernel_cache_bytes(hd * wd, ccfg)
+    if per_img is not None and b * per_img > _VMAP_KERNEL_BUDGET_BYTES:
+        return jax.lax.map(lambda args: fn(*args), (images, *batched_args))
+    return jax.vmap(fn)(images, *batched_args)
+
+
+# total kernel memory allowed under vmap before falling back to lax.map
+_VMAP_KERNEL_BUDGET_BYTES = int(3 * 2**30)
+
+
 def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConfig()):
     """Mean-field dense CRF refinement for one image.
 
@@ -246,8 +356,12 @@ def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConf
 
 def dense_crf_batch(images: jnp.ndarray, logits: jnp.ndarray,
                     ccfg: CRFConfig = CRFConfig()) -> jnp.ndarray:
-    """vmap over a batch: images [B, 3, H, W], logits [B, C, h, w]."""
-    return jax.vmap(lambda im, lg: dense_crf(im, lg, ccfg))(images, logits)
+    """Batched refinement: images [B, 3, H, W], logits [B, C, h, w].
+
+    vmap, or lax.map when per-image kernel caching would not fit batched
+    (see ``_batch_apply``)."""
+    return _batch_apply(lambda im, lg: dense_crf(im, lg, ccfg), images, ccfg,
+                        logits)
 
 
 def dense_crf_multi_batch(images: jnp.ndarray, logits_list,
@@ -257,5 +371,6 @@ def dense_crf_multi_batch(images: jnp.ndarray, logits_list,
     images: [B, 3, H, W]; logits_list: list of [B, C_k, h, w].
     Returns a list of [B, C_k, H, W].
     """
-    return jax.vmap(lambda im, *lgs: tuple(dense_crf_multi(im, list(lgs), ccfg)))(
-        images, *logits_list)
+    return _batch_apply(
+        lambda im, *lgs: tuple(dense_crf_multi(im, list(lgs), ccfg)),
+        images, ccfg, *logits_list)

@@ -74,27 +74,41 @@ def _cubic_matrix(in_size: int, out_size: int, scale: float | None) -> np.ndarra
     return mat
 
 
-def _apply_separable(x: jnp.ndarray, mat_h: np.ndarray, mat_w: np.ndarray) -> jnp.ndarray:
-    """Apply [OH,H] and [OW,W] matrices over the last two axes of x [..., H, W]."""
+def _apply_separable(x: jnp.ndarray, mat_h: np.ndarray, mat_w: np.ndarray,
+                     fast: bool = False) -> jnp.ndarray:
+    """Apply [OH,H] and [OW,W] matrices over the last two axes of x [..., H, W].
+
+    Default: f32 math at Precision.HIGHEST — the matrices are tiny, full
+    precision costs nothing at trace boundaries and keeps bit-level parity
+    with the torch reference resampling. ``fast=True`` keeps the input dtype
+    and the MXU's default precision — only for throughput-critical inner
+    loops whose values live in [0, 1] (e.g. the CRF mean-field state, where
+    each iteration re-softmaxes from the f32 unary so rounding cannot
+    accumulate; fidelity validated in docs/CRF_FIDELITY.md).
+    """
     wh = jnp.asarray(mat_h)
     ww = jnp.asarray(mat_w)
     dtype = x.dtype
-    x = x.astype(jnp.float32)
-    # tiny matrices: full-precision accumulation costs nothing and keeps
-    # bit-level parity with the torch reference resampling
-    hi = jax.lax.Precision.HIGHEST
-    x = jnp.einsum("oh,...hw->...ow", wh, x, precision=hi)
-    x = jnp.einsum("pw,...ow->...op", ww, x, precision=hi)
+    if fast:
+        wh, ww = wh.astype(dtype), ww.astype(dtype)
+        prec = None
+    else:
+        x = x.astype(jnp.float32)
+        prec = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("oh,...hw->...ow", wh, x, precision=prec)
+    x = jnp.einsum("pw,...ow->...op", ww, x, precision=prec)
     return x.astype(dtype)
 
 
-def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.ndarray:
+def resize_bilinear(x: jnp.ndarray, size, align_corners: bool = False,
+                    fast: bool = False) -> jnp.ndarray:
     """torch ``F.interpolate(x, size, mode='bilinear', align_corners=...)`` for [..., H, W]."""
     oh, ow = (size, size) if isinstance(size, int) else size
     h, w = x.shape[-2], x.shape[-1]
     if (h, w) == (oh, ow):
         return x
-    return _apply_separable(x, _linear_matrix(h, oh, align_corners), _linear_matrix(w, ow, align_corners))
+    return _apply_separable(x, _linear_matrix(h, oh, align_corners),
+                            _linear_matrix(w, ow, align_corners), fast=fast)
 
 
 def resize_bicubic(x: jnp.ndarray, size, scale: tuple | None = None) -> jnp.ndarray:

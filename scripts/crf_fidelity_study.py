@@ -120,11 +120,15 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
     configs = [
         ("exact (ds=1)", CRFConfig(downsample=1, block=block)),
         ("ds=2 mixed (eval default)", CRFConfig(downsample=2, block=block)),
+        ("ds=2 mixed bf16", CRFConfig(downsample=2, block=block,
+                                      dtype="bfloat16")),
         ("ds=2 legacy", CRFConfig(downsample=2, mixed_resolution=False, block=block)),
         ("ds=4 mixed", CRFConfig(downsample=4, block=block)),
-        ("ds=4 legacy", CRFConfig(downsample=4, mixed_resolution=False, block=block)),
-        ("ds=4 mixed bf16 (bench)", CRFConfig(downsample=4, block=block,
-                                              dtype="bfloat16")),
+        ("ds=4 mixed bf16", CRFConfig(downsample=4, block=block,
+                                      dtype="bfloat16")),
+        ("ds=4 legacy bf16 (bench)", CRFConfig(downsample=4, block=block,
+                                               mixed_resolution=False,
+                                               dtype="bfloat16")),
     ]
 
     rows = []
@@ -222,10 +226,11 @@ def format_table(rows, size, n_images, n_classes, platform):
             "(or marginally beats) it; coarser bilateral resolutions trade "
             "a fraction of the gain for O(ds^4) less work. The eval CLI "
             "default `downsample=2, mixed_resolution=True` keeps ~98% label "
-            "agreement and most of the gain at ~13x the exact speed; `ds=4` "
-            "(the bench config) is the throughput point. On real images the "
-            "unary is far better than these corrupted scenes, so absolute "
-            "mIoU deltas shrink proportionally.",
+            "agreement and most of the gain at ~13x the exact speed; "
+            "`ds=4 legacy bf16` (the bench.py operating point) is the "
+            "throughput end. On real images the unary is far better than "
+            "these corrupted scenes, so absolute mIoU deltas shrink "
+            "proportionally.",
             "",
             "History: this study caught a real TPU-only defect — the "
             "bilateral log-kernel `cross - |a|^2/2 - |b|^2/2` matmul ran at "
