@@ -85,21 +85,38 @@ def _tokens_to_grid(feat: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 
 def backbone_features(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
-                      precision: str | None = None, need_attn: bool = False):
+                      precision: str | None = None, need_attn: bool = False,
+                      backbone_dtype: str | None = None):
     """Frozen-backbone dense features [B, C, H/ps, W/ps] plus last-block attn.
 
     ``need_attn=False`` (the default — LHP attn propagation is the only
     consumer) lets "auto" pick the flash path, under which ``attn`` is None.
+
+    ``backbone_dtype="bfloat16"`` runs the frozen ViT in bf16 (params cast at
+    trace time, outputs returned f32): the backbone is stop-gradient feature
+    extraction, so this halves its HBM traffic/time (~2x measured on v5e) at
+    ~1% feature deviation; keep the f32 default for parity runs.
     """
     vcfg = fcfg.vit
     assert img.shape[2] % vcfg.patch_size == 0 and img.shape[3] % vcfg.patch_size == 0
     fh = img.shape[2] // vcfg.patch_size
     fw = img.shape[3] // vcfg.patch_size
 
+    vit_params = params["vit"]
+    if backbone_dtype == "bfloat16":
+        vit_params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            vit_params)
+        img = img.astype(jnp.bfloat16)
     impl = vit_lib.resolve_attn_impl(fcfg.attention_impl, need_attn, precision)
-    feats, attns, qkvs = vit_lib.vit_apply(params["vit"], img, vcfg, n=1,
+    feats, attns, qkvs = vit_lib.vit_apply(vit_params, img, vcfg, n=1,
                                            precision=precision, attn_impl=impl)
     feat, attn, qkv = feats[0], attns[0], qkvs[0]
+    if backbone_dtype == "bfloat16":
+        feat = feat.astype(jnp.float32)
+        qkv = qkv.astype(jnp.float32)
+        if attn is not None:
+            attn = attn.astype(jnp.float32)
 
     if fcfg.feat_type == "feat":
         image_feat = _tokens_to_grid(feat, fh, fw)
@@ -136,7 +153,8 @@ def project(params: dict, image_feat: jnp.ndarray, fcfg: FeaturizerConfig,
 
 def dispatch_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
                    depth=None, key: jax.Array | None = None, train: bool = False,
-                   precision: str | None = None, need_attn: bool = False):
+                   precision: str | None = None, need_attn: bool = False,
+                   backbone_dtype: str | None = None):
     """Arch-aware featurizer apply: routes DepthFeaturizerConfig to the
     depth-fused forward (its eval path uses the no-depth embed), everything
     else to the plain featurizer. The single dispatch point for train,
@@ -149,20 +167,24 @@ def dispatch_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
     if isinstance(fcfg, DepthFeaturizerConfig):
         return depth_featurizer_apply(params, img, fcfg, depth=depth, key=key,
                                       train=train, precision=precision,
-                                      need_attn=need_attn)
+                                      need_attn=need_attn,
+                                      backbone_dtype=backbone_dtype)
     return featurizer_apply(params, img, fcfg, key=key, train=train,
-                            precision=precision, need_attn=need_attn)
+                            precision=precision, need_attn=need_attn,
+                            backbone_dtype=backbone_dtype)
 
 
 def featurizer_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
                      key: jax.Array | None = None, train: bool = False,
-                     precision: str | None = None, need_attn: bool = False):
+                     precision: str | None = None, need_attn: bool = False,
+                     backbone_dtype: str | None = None):
     """Full featurizer. Returns dict(feats, code, attn).
 
     In train mode with ``fcfg.dropout`` the returned ``feats`` carry their own
     dropout mask, mirroring reference ``src/modules.py:128-137``.
     """
-    image_feat, attn = backbone_features(params, img, fcfg, precision, need_attn)
+    image_feat, attn = backbone_features(params, img, fcfg, precision, need_attn,
+                                         backbone_dtype)
     if key is not None:
         kp, kf = jax.random.split(key)
     else:

@@ -137,10 +137,12 @@ def depth_featurizer_apply(params: dict, img: jnp.ndarray,
                            fcfg: DepthFeaturizerConfig,
                            depth: jnp.ndarray | None = None,
                            key: jax.Array | None = None, train: bool = False,
-                           precision: str | None = None, need_attn: bool = False):
+                           precision: str | None = None, need_attn: bool = False,
+                           backbone_dtype: str | None = None):
     """Returns dict(feats=fused, code, orig_feats, attn) in train mode;
     eval mode omits orig_feats (mirrors ``src/modules.py:596-605``)."""
-    image_feat, attn = base.backbone_features(params, img, fcfg, precision, need_attn)
+    image_feat, attn = base.backbone_features(params, img, fcfg, precision,
+                                              need_attn, backbone_dtype)
     b, nf, fh, fw = image_feat.shape
 
     if key is not None:

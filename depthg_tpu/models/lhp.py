@@ -79,7 +79,14 @@ def _project(params, mixed):
 def _pairwise_sq_dists(points: jnp.ndarray) -> jnp.ndarray:
     """points [B, P, D] -> [B, P, P] euclidean distances."""
     sq = jnp.sum(points * points, axis=-1)
+    # |a|^2+|b|^2-2ab cancellation: the cross term must be exact f32 — at
+    # the MXU default the bf16-rounded inputs perturb distances ~1.5%,
+    # enough to flip near-threshold affinities on TPU while the CPU-run
+    # golden tests stay blind (same failure class as the ops/crf.py
+    # bilateral kernel bug; docs/CRF_FIDELITY.md "History"). Depth-3
+    # contraction: HIGHEST is free.
     cross = jnp.einsum("bpd,bqd->bpq", points, points,
+                       precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
     d2 = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2 * cross, 0.0)
     return jnp.sqrt(d2)
