@@ -127,15 +127,15 @@ def main():
     dt = (_median_time(lambda: float(timed_loop(params, img, label))) - rtt) / ITERS
     serialized = batch / dt
 
-    # ---- 1b. batch sweep (serialized methodology, fewer reps)
+    # ---- 1b. batch sweep (same serialized methodology)
     batch_sweep = {16: round(serialized, 2)}
     for bsz in (32, 64):
         img_b = jnp.asarray(
             rng.standard_normal((bsz, 3, 320, 320)).astype(np.float32))
         label_b = jnp.asarray(rng.integers(-1, 27, size=(bsz, 320, 320)))
         float(timed_loop(params, img_b, label_b))
-        dt_b = (_median_time(lambda: float(timed_loop(params, img_b, label_b)),
-                             repeats=2) - rtt) / ITERS
+        dt_b = (_median_time(lambda: float(timed_loop(params, img_b, label_b)))
+                - rtt) / ITERS
         batch_sweep[bsz] = round(bsz / dt_b, 2)
 
     # hardware utilization from XLA's own flop count for the compiled loop
@@ -202,46 +202,38 @@ def main():
 
     T_ITERS = 10
 
-    @jax.jit
-    def train_loop(state, batch_):
-        def body(i, carry):
-            st, tot = carry
-            # perturb the float inputs with the carried loss so NOTHING in
-            # the step is loop-invariant: the backbone is frozen, so with a
-            # constant batch XLA hoists the whole ViT forward out of the
-            # loop and the measurement silently drops its dominant cost
-            # (observed: 25 ms/step hoisted vs 58 ms/step true)
-            b2 = {k: v + (tot * 1e-12).astype(v.dtype)
-                  if jnp.issubdtype(v.dtype, jnp.floating) else v
-                  for k, v in batch_.items()}
-            st, logs = step_lib.train_step(st, b2, jax.random.fold_in(key, i),
-                                           fcfg, hp, lcfg, 0.19, 0.03)
-            return st, tot + logs["loss/total"].astype(jnp.float32)
-        _, tot = jax.lax.fori_loop(0, T_ITERS, body, (state, jnp.float32(0)))
-        return tot
+    def make_train_loop(hp_):
+        @jax.jit
+        def train_loop(state, batch_):
+            def body(i, carry):
+                st, tot = carry
+                # perturb the float inputs with the carried loss so NOTHING
+                # in the step is loop-invariant: the backbone is frozen, so
+                # with a constant batch XLA hoists the whole ViT forward out
+                # of the loop and the measurement silently drops its
+                # dominant cost (observed: 25 ms/step hoisted vs 58 true)
+                b2 = {k: v + (tot * 1e-12).astype(v.dtype)
+                      if jnp.issubdtype(v.dtype, jnp.floating) else v
+                      for k, v in batch_.items()}
+                st, logs = step_lib.train_step(st, b2,
+                                               jax.random.fold_in(key, i),
+                                               fcfg, hp_, lcfg, 0.19, 0.03)
+                return st, tot + logs["loss/total"].astype(jnp.float32)
+            _, tot = jax.lax.fori_loop(0, T_ITERS, body,
+                                       (state, jnp.float32(0)))
+            return tot
+        return train_loop
 
+    train_loop = make_train_loop(hp)
     float(train_loop(state, tb))
     dt_t = (_median_time(lambda: float(train_loop(state, tb))) - rtt) / T_ITERS
 
     # bf16 frozen-backbone variant (opt-in config; f32 above is the parity
     # default and the headline train number)
-    hp_bf = step_lib.TrainHParams(n_classes=27, backbone_dtype="bfloat16")
-
-    @jax.jit
-    def train_loop_bf(state, batch_):
-        def body(i, carry):
-            st, tot = carry
-            b2 = {k: v + (tot * 1e-12).astype(v.dtype)
-                  if jnp.issubdtype(v.dtype, jnp.floating) else v
-                  for k, v in batch_.items()}
-            st, logs = step_lib.train_step(st, b2, jax.random.fold_in(key, i),
-                                           fcfg, hp_bf, lcfg, 0.19, 0.03)
-            return st, tot + logs["loss/total"].astype(jnp.float32)
-        _, tot = jax.lax.fori_loop(0, T_ITERS, body, (state, jnp.float32(0)))
-        return tot
-
-    float(train_loop_bf(state, tb))
-    dt_tb = (_median_time(lambda: float(train_loop_bf(state, tb))) - rtt) / T_ITERS
+    loop_bf = make_train_loop(
+        step_lib.TrainHParams(n_classes=27, backbone_dtype="bfloat16"))
+    float(loop_bf(state, tb))
+    dt_tb = (_median_time(lambda: float(loop_bf(state, tb))) - rtt) / T_ITERS
     try:
         cost = jax.jit(train_loop).lower(state, tb).compile().cost_analysis()
         flops = (cost[0] if isinstance(cost, (list, tuple)) else cost).get("flops", 0.0)

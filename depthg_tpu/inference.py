@@ -37,6 +37,10 @@ class EvalConfig:
     # backbone storage dtype: "bfloat16" halves HBM traffic for the frozen ViT
     # (~30% faster eval, ~1% mean code deviation); probes/CRF stay f32.
     backbone_dtype: str = "float32"
+    # number of devices the batch axis is sharded across — set by
+    # make_eval_step from its mesh; steers the CRF batch strategy (a lax.map
+    # over a sharded axis would serialize the whole mesh; see ops.crf)
+    batch_shards: int = 1
 
 
 def unnormalize_255(img: jnp.ndarray) -> jnp.ndarray:
@@ -46,22 +50,27 @@ def unnormalize_255(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(img * std + mean, 0.0, 1.0) * 255.0
 
 
-def tta_code(params: dict, img: jnp.ndarray, fcfg, precision=None) -> jnp.ndarray:
+def tta_code(params: dict, img: jnp.ndarray, fcfg, precision=None,
+             backbone_dtype=None) -> jnp.ndarray:
     """Flip-TTA averaged projection code (reference ``eval_segmentation.py:150-152``)."""
-    code1 = featurizer_lib.dispatch_apply(params, img, fcfg, precision=precision)["code"]
+    code1 = featurizer_lib.dispatch_apply(params, img, fcfg, precision=precision,
+                                          backbone_dtype=backbone_dtype)["code"]
     code2 = featurizer_lib.dispatch_apply(params, img[..., ::-1], fcfg,
-                                          precision=precision)["code"]
+                                          precision=precision,
+                                          backbone_dtype=backbone_dtype)["code"]
     return (code1 + code2[..., ::-1]) / 2
 
 
 def eval_logits(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
-    """Upsampled probe logits: (linear log-softmax, cluster log-probs)."""
-    net = params["net"]
-    if ecfg.backbone_dtype == "bfloat16":
-        net = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, net)
-        img = img.astype(jnp.bfloat16)
-    code = tta_code(net, img, fcfg, ecfg.precision).astype(jnp.float32)
+    """Upsampled probe logits: (linear log-softmax, cluster log-probs).
+
+    ``backbone_dtype`` goes through the featurizer's own mechanism (cast
+    the frozen ViT only, return f32 features) so train and eval share ONE
+    precision semantics — the projection head and probes always run f32.
+    """
+    bdt = None if ecfg.backbone_dtype == "float32" else ecfg.backbone_dtype
+    code = tta_code(params["net"], img, fcfg, ecfg.precision,
+                    backbone_dtype=bdt).astype(jnp.float32)
     code = resize_bilinear(code, (ecfg.label_res, ecfg.label_res))
     linear_log = jax.nn.log_softmax(
         probes.linear_probe_apply(params["linear_probe"], code), axis=1)
@@ -79,7 +88,8 @@ def predictions(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
             guidance = resize_bilinear(guidance, (ecfg.label_res, ecfg.label_res))
         # one fused mean field: both probes share the image's pairwise kernel
         linear_q, cluster_q = dense_crf_multi_batch(
-            guidance, [linear_log, cluster_log], ecfg.crf)
+            guidance, [linear_log, cluster_log], ecfg.crf,
+            n_shards=ecfg.batch_shards)
         linear_preds = jnp.argmax(linear_q, 1)
         cluster_preds = jnp.argmax(cluster_q, 1)
     else:
@@ -97,6 +107,10 @@ def make_eval_step(fcfg, ecfg: EvalConfig, mesh=None):
     replacement for the reference's DataParallel eval
     (``src/eval_segmentation.py:116``).
     """
+
+    if mesh is not None and mesh.devices.size > 1:
+        # the CRF batch strategy must know the batch axis is sharded
+        ecfg = dataclasses.replace(ecfg, batch_shards=mesh.devices.size)
 
     def step(params, img, label):
         linear_preds, cluster_preds = predictions(params, img, fcfg, ecfg)

@@ -122,75 +122,91 @@ def _bilateral_message(feats: jnp.ndarray, values: jnp.ndarray, block: int,
             return bilateral_message_pallas(feats, values)
     n, f = feats.shape
     c = values.shape[1]
-    pad = (-n) % block
-    feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
-    sq = jnp.sum(feats * feats, axis=1)  # [N]
-    # padded rows → zero kernel both ways (logk = -inf), zero values
-    sq_p = jnp.pad(sq, (0, pad), constant_values=jnp.inf)
-    values_p = jnp.pad(values, ((0, pad), (0, 0)))
-
-    nb = feats_p.shape[0] // block
-    fb = feats_p.reshape(nb, block, f)
-    sqb = sq_p.reshape(nb, block)
+    fb, sqb, nb = _block_features(feats, block)
+    values_p = jnp.pad(values, ((0, (-n) % block), (0, 0)))
     vb = values_p.reshape(nb, block, c)
 
-    def tile(fa, sa, fbj, sbj):
-        # -||a-b||^2/2 = a.b - |a|^2/2 - |b|^2/2. The cross term is O(1e3)
-        # (rgb/3 ~ 80 squared, summed over 5 features) while logk needs
-        # ~0.1 absolute accuracy — the MXU's default bf16-input passes lose
-        # ~e^±3 of kernel mass here (silent on CPU tests, wrong on TPU; see
-        # docs/CRF_FIDELITY.md). Force full f32: the [B,5]x[5,B] matmul is
-        # depth-5, so HIGHEST costs nothing next to exp and k@values.
-        cross = jax.lax.dot_general(
-            fa, fbj.T, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)  # [B, B]
-        logk = cross - 0.5 * sa[:, None] - 0.5 * sbj[None, :]
-        # k in the values' dtype: the kernel tile is the largest
-        # intermediate and its entries live in [0, 1] — bf16-safe
-        return jnp.exp(logk).astype(values.dtype)
+    if nb > _MAX_UNROLLED_DIAGS:
+        # huge N (downsample<=1): the symmetric-diagonal structure would
+        # unroll nb stages into the jaxpr (128 at ds=1/320px) — keep one
+        # rolled lax.map over row blocks instead (2x the exp count, but a
+        # bounded program; this config cannot cache its kernel either)
+        def row_block(fb_sq):
+            fbi, sqi = fb_sq
+            k = _kernel_tile(fbi, sqi, feats, jnp.sum(feats * feats, axis=1),
+                             values.dtype)
+            return k @ values
+        out = jax.lax.map(row_block, (fb, sqb))
+        return out.reshape(-1, c)[:n]
 
     out = jnp.zeros((nb, block, c), values.dtype)
     for d in range(nb):
         m = nb - d
-        k = jax.vmap(tile)(fb[:m], sqb[:m], fb[d:], sqb[d:])  # [m, B, B]
+        k = jax.vmap(lambda a, s, bj, sj: _kernel_tile(a, s, bj, sj, values.dtype))(
+            fb[:m], sqb[:m], fb[d:], sqb[d:])  # [m, B, B]
         out = out.at[:m].add(jnp.einsum("mij,mjc->mic", k, vb[d:]))
         if d:
             out = out.at[d:].add(jnp.einsum("mij,mic->mjc", k, vb[:m]))
     return out.reshape(-1, c)[:n]
 
 
-def _bilateral_kernel(feats: jnp.ndarray, block: int, dtype) -> jnp.ndarray:
-    """Materialized [N, N] kernel k_ij = exp(-||f_i - f_j||^2 / 2).
+# above this many block-diagonals the symmetric unrolled formulation is
+# traded for a rolled lax.map (jaxpr size over exp savings)
+_MAX_UNROLLED_DIAGS = 48
 
-    Built tile-wise with the same symmetric/HIGHEST-precision math as
-    ``_bilateral_message`` (each off-diagonal tile exp'd once, written both
-    ways). Entries live in [0, 1] so bf16 storage is safe. With the kernel
-    resident, every mean-field message is one [N, N] x [N, C] MXU matmul —
-    the exp cost (the VPU-bound dominant term) is paid once instead of
-    once per message (10 iterations + degree), measured ~2.5x faster at
-    downsample=4 on v5e.
+
+def _block_features(feats: jnp.ndarray, block: int):
+    """Pad + reshape features/sq-norms into [nb, block, ...] tiles.
+
+    Padded rows get sq = +inf so their kernel entries are exp(-inf) = 0 in
+    BOTH directions — they contribute nothing to any message.
     """
     n, f = feats.shape
     pad = (-n) % block
     feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
     sq = jnp.sum(feats * feats, axis=1)
     sq_p = jnp.pad(sq, (0, pad), constant_values=jnp.inf)
-
     nb = feats_p.shape[0] // block
-    fb = feats_p.reshape(nb, block, f)
-    sqb = sq_p.reshape(nb, block)
+    return feats_p.reshape(nb, block, f), sq_p.reshape(nb, block), nb
 
-    def tile(fa, sa, fbj, sbj):
-        cross = jax.lax.dot_general(
-            fa, fbj.T, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)
-        logk = cross - 0.5 * sa[:, None] - 0.5 * sbj[None, :]
-        return jnp.exp(logk).astype(dtype)
+
+def _kernel_tile(fa, sa, fbj, sbj, dtype):
+    """One [blk_a, blk_b] kernel tile exp(-||f_i - f_j||^2 / 2).
+
+    -||a-b||^2/2 = a.b - |a|^2/2 - |b|^2/2. The cross term is O(1e3)
+    (rgb/3 ~ 80 squared, summed over 5 features) while logk needs ~0.1
+    absolute accuracy — the MXU's default bf16-input passes lose ~e^±3 of
+    kernel mass here (silent on CPU tests, wrong on TPU; see
+    docs/CRF_FIDELITY.md "History"). Force full f32: the [B,5]x[5,B] matmul
+    is depth-5, so HIGHEST costs nothing next to exp and the value matmuls.
+    The tile is returned in the values' dtype: it is the largest
+    intermediate and its entries live in [0, 1] — bf16-safe.
+    """
+    cross = jax.lax.dot_general(
+        fa, fbj.T, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    logk = cross - 0.5 * sa[:, None] - 0.5 * sbj[None, :]
+    return jnp.exp(logk).astype(dtype)
+
+
+def _bilateral_kernel(feats: jnp.ndarray, block: int, dtype) -> jnp.ndarray:
+    """Materialized [N, N] kernel k_ij = exp(-||f_i - f_j||^2 / 2).
+
+    Built from the same symmetric ``_kernel_tile`` math as the streaming
+    path (each off-diagonal tile exp'd once, written both ways). With the
+    kernel resident, every mean-field message is one [N, N] x [N, C] MXU
+    matmul — the exp cost (the VPU-bound dominant term) is paid once
+    instead of once per message (10 iterations + degree), measured ~2.5x
+    faster at downsample=4 on v5e.
+    """
+    n, _ = feats.shape
+    fb, sqb, nb = _block_features(feats, block)
 
     kmat = jnp.zeros((nb, block, nb, block), dtype)
     for d in range(nb):
         m = nb - d
-        k = jax.vmap(tile)(fb[:m], sqb[:m], fb[d:], sqb[d:])  # [m, B, B]
+        k = jax.vmap(lambda a, s, bj, sj: _kernel_tile(a, s, bj, sj, dtype))(
+            fb[:m], sqb[:m], fb[d:], sqb[d:])  # [m, B, B]
         idx = jnp.arange(m)
         kmat = kmat.at[idx, :, idx + d, :].set(k)
         if d:
@@ -323,23 +339,43 @@ def _kernel_cache_bytes(n_coarse: int, ccfg: CRFConfig) -> int | None:
     return None
 
 
-def _batch_apply(fn, images, ccfg: CRFConfig, *batched_args):
-    """vmap normally; switch to lax.map (one image at a time) when the
-    batch of materialized kernels would not fit the vmap budget — e.g.
-    downsample=2 at 320px caches a 1.25 GB bf16 kernel per image, which is
-    fine sequentially but not replicated across a batch of 16."""
+def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args):
+    """Pick the batch strategy around per-image kernel caching.
+
+    * kernels fit per device -> vmap (the normal, shard-friendly path);
+    * single device and only one kernel at a time fits -> lax.map, one
+      image per step (e.g. downsample=2 at 320px: 1.25-2.6 GB/kernel);
+    * sharded across a mesh and the per-device kernels would not fit ->
+      DISABLE the cache and vmap the streaming path. A lax.map here would
+      be wrong: a scan's leading axis cannot stay partitioned, so GSPMD
+      would gather every shard to every device and serialize the whole
+      batch — n_devices x the work of streaming in parallel.
+
+    ``make_fn``: ccfg -> (image, *logits) -> result, so the strategy can
+    rebuild the per-image closure with caching disabled.
+    ``n_shards``: number of devices the batch axis is sharded across (1 for
+    unsharded callers; ``make_eval_step`` passes its mesh size via
+    ``EvalConfig.batch_shards``).
+    """
     b = images.shape[0]
     ds = ccfg.downsample
     h, w = images.shape[-2:]
     hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
     per_img = _kernel_cache_bytes(hd * wd, ccfg)
-    if per_img is not None and b * per_img > _VMAP_KERNEL_BUDGET_BYTES:
-        return jax.lax.map(lambda args: fn(*args), (images, *batched_args))
-    return jax.vmap(fn)(images, *batched_args)
+    if per_img is not None:
+        per_dev = (max(1, b // max(1, n_shards))) * per_img
+        if per_dev > _VMAP_KERNEL_BUDGET_BYTES:
+            if n_shards <= 1:
+                fn = make_fn(ccfg)
+                return jax.lax.map(lambda args: fn(*args),
+                                   (images, *batched_args))
+            streaming = make_fn(dataclasses.replace(ccfg, kernel_cache_mb=0))
+            return jax.vmap(streaming)(images, *batched_args)
+    return jax.vmap(make_fn(ccfg))(images, *batched_args)
 
 
-# total kernel memory allowed under vmap before falling back to lax.map
-_VMAP_KERNEL_BUDGET_BYTES = int(3 * 2**30)
+# per-DEVICE kernel memory allowed under vmap before changing strategy
+_VMAP_KERNEL_BUDGET_BYTES = int(6 * 2**30)
 
 
 def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConfig()):
@@ -355,22 +391,24 @@ def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConf
 
 
 def dense_crf_batch(images: jnp.ndarray, logits: jnp.ndarray,
-                    ccfg: CRFConfig = CRFConfig()) -> jnp.ndarray:
+                    ccfg: CRFConfig = CRFConfig(),
+                    n_shards: int = 1) -> jnp.ndarray:
     """Batched refinement: images [B, 3, H, W], logits [B, C, h, w].
 
-    vmap, or lax.map when per-image kernel caching would not fit batched
-    (see ``_batch_apply``)."""
-    return _batch_apply(lambda im, lg: dense_crf(im, lg, ccfg), images, ccfg,
-                        logits)
+    Batch strategy (vmap / lax.map / cache-off) picked by ``_batch_apply``;
+    pass ``n_shards`` when the batch axis is sharded across a mesh."""
+    return _batch_apply(
+        lambda cc: (lambda im, lg: dense_crf(im, lg, cc)),
+        images, ccfg, n_shards, logits)
 
 
 def dense_crf_multi_batch(images: jnp.ndarray, logits_list,
-                          ccfg: CRFConfig = CRFConfig()):
+                          ccfg: CRFConfig = CRFConfig(), n_shards: int = 1):
     """Refine several batched logit sets sharing each image's kernel.
 
     images: [B, 3, H, W]; logits_list: list of [B, C_k, h, w].
-    Returns a list of [B, C_k, H, W].
+    Returns a list of [B, C_k, H, W]. ``n_shards``: see ``dense_crf_batch``.
     """
     return _batch_apply(
-        lambda im, *lgs: tuple(dense_crf_multi(im, list(lgs), ccfg)),
-        images, ccfg, *logits_list)
+        lambda cc: (lambda im, *lgs: tuple(dense_crf_multi(im, list(lgs), cc))),
+        images, ccfg, n_shards, *logits_list)

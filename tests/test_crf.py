@@ -83,3 +83,47 @@ def test_crf_downsample_close_to_exact():
     q2 = np.asarray(dense_crf(jnp.asarray(img), jnp.asarray(logits), CRFConfig(downsample=2, block=512)))
     agree = (q1.argmax(0) == q2.argmax(0)).mean()
     assert agree > 0.95
+
+
+def test_batch_strategy_sharded_disables_cache_not_map(monkeypatch):
+    """A sharded batch must NEVER take the lax.map path (it would serialize
+    the mesh); when per-device kernels exceed the budget the cache is
+    dropped and the streaming path is vmapped — numerically identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from depthg_tpu.ops import crf as crf_mod
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((4, 3, 32, 32)).astype(np.float32) * 255)
+    logits = jnp.asarray(rng.standard_normal((4, 3, 8, 8)).astype(np.float32))
+    ccfg = crf_mod.CRFConfig(downsample=2, block=64, max_iter=3)
+
+    ref = np.asarray(crf_mod.dense_crf_batch(images, logits, ccfg))
+
+    # force "kernels do not fit batched" (budget below one 16x16 kernel)
+    monkeypatch.setattr(crf_mod, "_VMAP_KERNEL_BUDGET_BYTES", 1)
+
+    calls = {"map": 0}
+    orig_map = jax.lax.map
+
+    def counting_map(*a, **k):
+        calls["map"] += 1
+        return orig_map(*a, **k)
+
+    monkeypatch.setattr(jax.lax, "map", counting_map)
+
+    # unsharded: lax.map is the right fallback
+    out_seq = np.asarray(crf_mod.dense_crf_batch(images, logits, ccfg))
+    assert calls["map"] == 1
+    # cached-kernel vs streaming differ only in reduction order, which the
+    # 3-iteration mean field amplifies slightly — labels must match
+    np.testing.assert_allclose(out_seq, ref, atol=5e-3)
+    assert (out_seq.argmax(1) == ref.argmax(1)).mean() > 0.999
+
+    # sharded: must vmap the streaming (cache-off) path instead
+    out_shard = np.asarray(crf_mod.dense_crf_batch(images, logits, ccfg,
+                                                   n_shards=4))
+    assert calls["map"] == 1  # unchanged — no lax.map for the sharded case
+    np.testing.assert_allclose(out_shard, ref, atol=5e-3)
+    assert (out_shard.argmax(1) == ref.argmax(1)).mean() > 0.999
