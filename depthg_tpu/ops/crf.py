@@ -342,14 +342,16 @@ def _kernel_cache_bytes(n_coarse: int, ccfg: CRFConfig) -> int | None:
 def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args):
     """Pick the batch strategy around per-image kernel caching.
 
-    * kernels fit per device -> vmap (the normal, shard-friendly path);
-    * single device and only one kernel at a time fits -> lax.map, one
-      image per step (e.g. downsample=2 at 320px: 1.25-2.6 GB/kernel);
-    * sharded across a mesh and the per-device kernels would not fit ->
-      DISABLE the cache and vmap the streaming path. A lax.map here would
-      be wrong: a scan's leading axis cannot stay partitioned, so GSPMD
-      would gather every shard to every device and serialize the whole
-      batch — n_devices x the work of streaming in parallel.
+    * no kernel cache (streaming tiles) -> vmap;
+    * cache active, single device -> lax.map one image per step (the
+      fastest configuration, not just a memory fallback — see the inline
+      measurements);
+    * cache active, sharded mesh -> vmap if the per-device kernels fit,
+      else DISABLE the cache and vmap the streaming path. A lax.map over a
+      sharded batch axis would be wrong: a scan's leading axis cannot stay
+      partitioned, so GSPMD would gather every shard to every device and
+      serialize the whole batch — n_devices x the work of streaming in
+      parallel.
 
     ``make_fn``: ccfg -> (image, *logits) -> result, so the strategy can
     rebuild the per-image closure with caching disabled.
@@ -363,19 +365,30 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
     hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
     per_img = _kernel_cache_bytes(hd * wd, ccfg)
     if per_img is not None:
-        per_dev = (max(1, b // max(1, n_shards))) * per_img
+        if n_shards <= 1:
+            # one image at a time is FASTEST on one device whenever the
+            # kernel cache is active, not just a memory fallback: a single
+            # image's [N, N] kernel matmuls already saturate the chip and
+            # the small resident working set wins (measured v5e, ds=4
+            # batch 16: sequential 182 img/s vs 16-wide vmap 141; chunked
+            # vmap groups of 4/8/16 all land ~130-134 at batch 64 vs 161
+            # sequential). Memory stays one kernel regardless of batch.
+            fn = make_fn(ccfg)
+            return jax.lax.map(lambda args: fn(*args),
+                               (images, *batched_args))
+        per_dev = (max(1, b // n_shards)) * per_img
         if per_dev > _VMAP_KERNEL_BUDGET_BYTES:
-            if n_shards <= 1:
-                fn = make_fn(ccfg)
-                return jax.lax.map(lambda args: fn(*args),
-                                   (images, *batched_args))
+            # sharded + kernels too big per device: a lax.map here would
+            # serialize the mesh (a scan's leading axis cannot stay
+            # partitioned), so drop the cache and vmap the streaming path
             streaming = make_fn(dataclasses.replace(ccfg, kernel_cache_mb=0))
             return jax.vmap(streaming)(images, *batched_args)
     return jax.vmap(make_fn(ccfg))(images, *batched_args)
 
 
-# per-DEVICE kernel memory allowed under vmap before changing strategy
-_VMAP_KERNEL_BUDGET_BYTES = int(6 * 2**30)
+# per-DEVICE kernel memory allowed under vmap (sharded meshes) before
+# dropping the cache
+_VMAP_KERNEL_BUDGET_BYTES = int(1.5 * 2**30)
 
 
 def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConfig()):
