@@ -40,6 +40,76 @@ def default_collate(items: list) -> dict:
     return out
 
 
+# image-valued keys whose floats are EXACTLY (u/255 - mean)/std of the
+# original uint8 pixels (transforms normalize as the last host step), so
+# they round-trip through uint8 losslessly — 4x less transfer volume
+_IMAGENET_KEYS = ("img", "img_pos", "img_aug")
+
+
+def pack_batch(batch: dict, keys) -> tuple:
+    """Fuse a batch dict into TWO host buffers (u8 + f32) + a static spec.
+
+    Rationale: every ``device_put`` carries a fixed per-call latency (on a
+    tunneled runtime ~340 ms — five arrays per training batch made the
+    transfer, not the 59 ms step, the wall), and bandwidth there is scarce.
+    One packed buffer per dtype class pays the latency twice total;
+    ImageNet-normalized images invert exactly to their source uint8 pixels
+    and are re-normalized on device (``unpack_batch``); integer labels ride
+    as f32 (exact for |v| < 2^24) and are cast back on device.
+    """
+    from depthg_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    mean = np.asarray(IMAGENET_MEAN, np.float32)[:, None, None]
+    std = np.asarray(IMAGENET_STD, np.float32)[:, None, None]
+    spec, parts_f, parts_u, off_f, off_u = [], [], [], 0, 0
+    for k in sorted(keys):
+        if k not in batch:
+            continue
+        v = np.asarray(batch[k])
+        if k in _IMAGENET_KEYS and v.ndim == 4 and v.shape[1] == 3:
+            u = np.rint((v * std + mean) * 255.0)
+            if (u >= -0.5).all() and (u <= 255.5).all():
+                u8 = np.clip(u, 0, 255).astype(np.uint8).ravel()
+                spec.append((k, "imagenet_u8", tuple(v.shape), off_u, u8.size))
+                parts_u.append(u8)
+                off_u += u8.size
+                continue
+            # values outside u8 range (synthetic tensors): fall through
+        arr = np.ascontiguousarray(v, np.float32).ravel()
+        # jax runs x64-disabled: integer labels come back int32 (all label
+        # spaces here are tiny); floats keep f32
+        dtype = ("int32" if np.issubdtype(v.dtype, np.integer)
+                 else "bool" if v.dtype == np.bool_ else "float32")
+        spec.append((k, dtype, tuple(v.shape), off_f, arr.size))
+        parts_f.append(arr)
+        off_f += arr.size
+    buf_f = (np.concatenate(parts_f) if parts_f else np.zeros((0,), np.float32))
+    buf_u = (np.concatenate(parts_u) if parts_u else np.zeros((0,), np.uint8))
+    return (buf_f, buf_u), tuple(spec)
+
+
+def unpack_batch(bufs, spec):
+    """Device-side inverse of ``pack_batch``; call under jit (spec static)."""
+    import jax.lax
+    import jax.numpy as jnp
+
+    from depthg_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    buf_f, buf_u = bufs
+    out = {}
+    for k, dtype, shape, off, size in spec:
+        if dtype == "imagenet_u8":
+            x = jax.lax.dynamic_slice(buf_u, (off,), (size,)).reshape(shape)
+            x = x.astype(jnp.float32) / 255.0
+            mean = jnp.asarray(IMAGENET_MEAN)[None, :, None, None]
+            std = jnp.asarray(IMAGENET_STD)[None, :, None, None]
+            out[k] = (x - mean) / std
+        else:
+            x = jax.lax.dynamic_slice(buf_f, (off,), (size,)).reshape(shape)
+            out[k] = x.astype(dtype)
+    return out
+
+
 def device_prefetch(iterator, place_fn, depth: int = 2):
     """Double-buffer host->HBM: keep ``depth`` batches placed on device ahead
     of the consumer, so the transfer of batch k+1 runs while step k computes

@@ -196,16 +196,23 @@ def main(argv=None):
     if float(cfg.aug_alignment_weight) > 0:
         needed |= {"img_aug", "coord_aug"}
 
+    from depthg_tpu.data.loader import pack_batch, unpack_batch
+
+    unpack_jit = jax.jit(unpack_batch, static_argnums=1)
+
     def device_batch(batch):
+        if not multi:
+            # single device: ONE fused transfer (per-call device_put latency
+            # dominates on tunneled hosts — see data.loader.pack_batch)
+            bufs, spec = pack_batch(batch, needed)
+            return unpack_jit(tuple(jnp.asarray(b) for b in bufs), spec)
         out = {}
         for k in needed:
             if k in batch:
                 v = batch[k]
                 v = v.astype(np.float32) if v.dtype in (np.float64,) else v
                 out[k] = jnp.asarray(v)
-        if multi:
-            out = mesh_lib.shard_batch(out, mesh)
-        return out
+        return mesh_lib.shard_batch(out, mesh)
 
     def save_ckpt(tag, metrics=None):
         params = jax.device_get(step_lib.eval_params_from_state(state))
