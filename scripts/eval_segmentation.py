@@ -71,6 +71,23 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
     linear_metrics = SegMetrics("final/linear/", n_classes, 0, False)
     cluster_metrics = SegMetrics("final/cluster/", n_classes, extra_clusters, True)
 
+    import jax
+    import jax.numpy as jnp
+
+    from depthg_tpu.data.loader import pack_batch, unpack_batch
+
+    unpack_jit = jax.jit(unpack_batch, static_argnums=1)
+
+    def stage(img, label):
+        """One fused u8+f32 transfer instead of two device_puts (per-call
+        latency dominates on tunneled hosts — see data.loader.pack_batch);
+        multi-device meshes keep the per-key sharded path."""
+        if n_dev > 1:
+            return jnp.asarray(img), jnp.asarray(label)
+        bufs, spec = pack_batch({"img": img, "label": label}, ("img", "label"))
+        dev = unpack_jit(tuple(map(jnp.asarray, bufs)), spec)
+        return dev["img"], dev["label"]
+
     t0 = time.time()
     n_images = 0
     pending = []
@@ -90,7 +107,8 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
             img = np.concatenate([img, np.zeros((pad, *img.shape[1:]), np.float32)])
             label = np.concatenate([label, np.full((pad, *label.shape[1:]), -1,
                                                    label.dtype)])
-        lin_stats, clu_stats = eval_step(params, img, label)
+        img_d, label_d = stage(img, label)
+        lin_stats, clu_stats = eval_step(params, img_d, label_d)
         pending.append((lin_stats, clu_stats))
         n_images += img.shape[0] - pad
         if len(pending) >= 8:  # drain without stalling the device queue
