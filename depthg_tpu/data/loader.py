@@ -67,14 +67,20 @@ def pack_batch(batch: dict, keys) -> tuple:
             continue
         v = np.asarray(batch[k])
         if k in _IMAGENET_KEYS and v.ndim == 4 and v.shape[1] == 3:
-            u = np.rint((v * std + mean) * 255.0)
-            if (u >= -0.5).all() and (u <= 255.5).all():
+            uf = (v * std + mean) * 255.0
+            u = np.rint(uf)
+            # lossless ONLY if the floats really sit on the uint8 lattice
+            # (range alone is not enough: an all-zero padded image maps to
+            # in-range but non-integral 123.675 and would be silently
+            # quantized); 1e-2 covers f32 normalize/denormalize rounding
+            if ((u >= -0.5).all() and (u <= 255.5).all()
+                    and np.abs(uf - u).max() < 1e-2):
                 u8 = np.clip(u, 0, 255).astype(np.uint8).ravel()
                 spec.append((k, "imagenet_u8", tuple(v.shape), off_u, u8.size))
                 parts_u.append(u8)
                 off_u += u8.size
                 continue
-            # values outside u8 range (synthetic tensors): fall through
+            # non-lattice values (synthetic tensors, padding): fall through
         arr = np.ascontiguousarray(v, np.float32).ravel()
         # jax runs x64-disabled: integer labels come back int32 (all label
         # spaces here are tiny); floats keep f32
@@ -133,9 +139,10 @@ def device_prefetch(iterator, place_fn, depth: int = 2):
                 if stop.is_set():
                     return
                 q.put(place_fn(batch))
-        finally:
             q.put(None)
-
+        except BaseException as e:  # forward to the consumer — a swallowed
+            q.put(e)                # staging error must not look like a
+                                    # clean end-of-epoch
     t = _threading.Thread(target=stage, daemon=True)
     t.start()
     try:
@@ -143,6 +150,8 @@ def device_prefetch(iterator, place_fn, depth: int = 2):
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()
@@ -205,13 +214,17 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(lambda i: self._fetch(epoch, i), batch_idx))
-                    out_q.put(self.collate_fn(items))
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            break
+                        items = list(pool.map(lambda i: self._fetch(epoch, i),
+                                              batch_idx))
+                        out_q.put(self.collate_fn(items))
+                out_q.put(None)
+            except BaseException as e:  # forward: a dead producer must not
+                out_q.put(e)            # leave the consumer blocked forever
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -220,6 +233,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -316,8 +316,11 @@ def main(argv=None):
             if want_hist:
                 host_logs = jax.device_get(logs)
                 for name_ in ("intra_cd", "inter_cd", "neg_cd"):
-                    tb_writer.add_histogram(name_, np.asarray(
-                        host_logs.pop(f"hist/{name_}")), step_num)
+                    # only emitted when the correlation loss ran
+                    # (correspondence_weight > 0)
+                    if f"hist/{name_}" in host_logs:
+                        tb_writer.add_histogram(name_, np.asarray(
+                            host_logs.pop(f"hist/{name_}")), step_num)
                 logs = {k: v for k, v in logs.items() if not k.startswith("hist/")}
 
             if step_num % cfg.scalar_log_freq == 0:

@@ -145,3 +145,49 @@ def test_depth_pyramid_output_resolution():
     depth = jnp.asarray(RNG.random((1, 1, 224, 224)).astype(np.float32))
     out = depth_pyramid(params, depth)
     assert out.shape == (1, 384, 28, 28)  # 3 stride-2 stages for n_feats=384
+
+
+def test_lhp_depth_strategy_requests_attn(monkeypatch):
+    """Reference dispatch (src/modules.py:190-192) falls back to
+    projection-only when attn is None — its trainer always passes a real
+    attn, so the loss must request one for EVERY lhp strategy (the flash
+    path returns attn=None and would silently disable depth propagation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from depthg_tpu.models import vit as vit_lib
+    from depthg_tpu.models.featurizer import FeaturizerConfig
+    from depthg_tpu.train import losses as loss_lib
+    from depthg_tpu.train import step as step_lib
+
+    tiny = vit_lib.ViTConfig(patch_size=8, embed_dim=32, depth=1, num_heads=2,
+                             img_size=32)
+    fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=8,
+                            vit_config=tiny)
+    hp = step_lib.TrainHParams(n_classes=3, lhp=True,
+                               lhp_propagation_strategy="depth")
+    lcfg = loss_lib.CorrLossConfig(feature_samples=2, neg_samples=1)
+    state = step_lib.init_state(jax.random.PRNGKey(0), fcfg, hp)
+
+    seen = []
+    orig = step_lib._apply_featurizer
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("need_attn", False))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(step_lib, "_apply_featurizer", spy)
+    rng = np.random.default_rng(0)
+    batch = {
+        "img": jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32)),
+        "img_pos": jnp.asarray(rng.standard_normal((2, 3, 32, 32)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(-1, 3, size=(2, 32, 32))),
+        "depth": jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32)),
+        "depth_pos": jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32)),
+    }
+    loss, logs = step_lib.loss_fn(state["params"], state["frozen"], batch,
+                                  jax.random.PRNGKey(1), fcfg, hp, lcfg,
+                                  0.1, 0.03)
+    assert seen and seen[0] is True, seen
+    assert np.isfinite(float(loss))

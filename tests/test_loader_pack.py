@@ -52,3 +52,37 @@ def test_pack_falls_back_for_non_quantized_images():
     out = jax.jit(unpack_batch, static_argnums=1)(
         tuple(map(jnp.asarray, bufs)), spec)
     np.testing.assert_array_equal(np.asarray(out["img"]), batch["img"])
+
+
+def test_loader_propagates_worker_exceptions():
+    """A failing __getitem__ must raise in the consumer, not hang or look
+    like a clean end-of-epoch (the producer thread forwards exceptions)."""
+    import pytest
+
+    from depthg_tpu.data.loader import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i, rng=None):
+            raise OSError(f"corrupt item {i}")
+
+    loader = DataLoader(Bad(), batch_size=2, num_workers=2)
+    with pytest.raises(OSError, match="corrupt item"):
+        list(loader)
+
+
+def test_device_prefetch_propagates_staging_exceptions():
+    from depthg_tpu.data.loader import device_prefetch
+    import pytest
+
+    def gen():
+        yield {"x": np.zeros(3)}
+        raise RuntimeError("stage boom")
+
+    out = []
+    with pytest.raises(RuntimeError, match="stage boom"):
+        for item in device_prefetch(gen(), lambda b: b):
+            out.append(item)
+    assert len(out) == 1  # the good batch arrived first
