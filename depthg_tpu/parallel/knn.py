@@ -69,21 +69,54 @@ def topk_neighbors(feats, k: int = 30, chunk: int = 1024, mesh=None,
     return np.asarray(idx)[:n]
 
 
+# keys are processed in blocks of this many rows so one query chunk never
+# materializes a [chunk, N] similarity matrix (9.7 GB f32 at the cocostuff
+# five-crop N ~ 590k) — per-block top-k candidates are merged by a final
+# top-k over nb*k columns, which is exact (the global top-k is a subset of
+# the per-block top-ks)
+_KEY_BLOCK = 65536
+
+
 def _topk_inner(queries, keys, k, chunk, valid_n=None, precision=None):
     nq, c = queries.shape
     pad = (-nq) % chunk
     q = jnp.pad(queries, ((0, pad), (0, 0))).reshape(-1, chunk, c)
+    n_keys = keys.shape[0]
 
-    def one_chunk(qb):
-        sims = jnp.einsum("qc,nc->qn", qb, keys,
+    def block_sims(qb, kb, base, mask_from):
+        """Similarities with key columns >= mask_from forced to -inf
+        (zero-padded key rows must never win the top-k — their cosine sim
+        of exactly 0 outranks negative real similarities)."""
+        sims = jnp.einsum("qc,nc->qn", qb, kb,
                           preferred_element_type=jnp.float32,
                           precision=precision)
-        if valid_n is not None and valid_n < keys.shape[0]:
-            # zero-padded key rows must never win the top-k (their cosine sim
-            # of exactly 0 outranks negative real similarities)
-            col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-            sims = jnp.where(col >= valid_n, -jnp.inf, sims)
-        _, idx = jax.lax.top_k(sims, k)
-        return idx
+        if mask_from is not None:
+            col = base + jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+            sims = jnp.where(col >= mask_from, -jnp.inf, sims)
+        return sims
+
+    if n_keys <= 2 * _KEY_BLOCK:
+        def one_chunk(qb):
+            _, idx = jax.lax.top_k(block_sims(qb, keys, 0, valid_n), k)
+            return idx
+    else:
+        kpad = (-n_keys) % _KEY_BLOCK
+        keys_p = jnp.pad(keys, ((0, kpad), (0, 0)))
+        nb = keys_p.shape[0] // _KEY_BLOCK
+        kb_stack = keys_p.reshape(nb, _KEY_BLOCK, c)
+        vmask = n_keys if valid_n is None else min(valid_n, n_keys)
+
+        def one_chunk(qb):
+            def per_block(carry, inp):
+                kb, base = inp
+                v, i = jax.lax.top_k(block_sims(qb, kb, base, vmask), k)
+                return carry, (v, i + base)
+            bases = jnp.arange(nb, dtype=jnp.int32) * _KEY_BLOCK
+            _, (vals, idxs) = jax.lax.scan(per_block, 0, (kb_stack, bases))
+            # [nb, chunk, k] -> [chunk, nb*k] candidates; exact global top-k
+            vals = jnp.transpose(vals, (1, 0, 2)).reshape(qb.shape[0], -1)
+            idxs = jnp.transpose(idxs, (1, 0, 2)).reshape(qb.shape[0], -1)
+            _, sel = jax.lax.top_k(vals, k)
+            return jnp.take_along_axis(idxs, sel, axis=1)
 
     return jax.lax.map(one_chunk, q).reshape(-1, k)[:nq]
