@@ -62,10 +62,12 @@ def pack_batch(batch: dict, keys) -> tuple:
     mean = np.asarray(IMAGENET_MEAN, np.float32)[:, None, None]
     std = np.asarray(IMAGENET_STD, np.float32)[:, None, None]
     spec, parts_f, parts_u, off_f, off_u = [], [], [], 0, 0
+
     for k in sorted(keys):
         if k not in batch:
             continue
         v = np.asarray(batch[k])
+        u8 = kind = None
         if k in _IMAGENET_KEYS and v.ndim == 4 and v.shape[1] == 3:
             uf = (v * std + mean) * 255.0
             u = np.rint(uf)
@@ -75,12 +77,27 @@ def pack_batch(batch: dict, keys) -> tuple:
             # quantized); 1e-2 covers f32 normalize/denormalize rounding
             if ((u >= -0.5).all() and (u <= 255.5).all()
                     and np.abs(uf - u).max() < 1e-2):
-                u8 = np.clip(u, 0, 255).astype(np.uint8).ravel()
-                spec.append((k, "imagenet_u8", tuple(v.shape), off_u, u8.size))
-                parts_u.append(u8)
-                off_u += u8.size
-                continue
-            # non-lattice values (synthetic tensors, padding): fall through
+                u8, kind = np.clip(u, 0, 255).astype(np.uint8), "imagenet_u8"
+        elif np.issubdtype(v.dtype, np.floating):
+            # integer-valued floats in [0, 255] (e.g. depth decoded from
+            # 8-bit PNGs) ride the u8 buffer exactly
+            u = np.rint(v)
+            if ((v >= 0).all() and (v <= 255).all()
+                    and np.abs(v - u).max() == 0.0):
+                u8, kind = u.astype(np.uint8), "raw_u8"
+        elif np.issubdtype(v.dtype, np.integer):
+            if v.size and v.min() >= -1 and v.max() <= 254:
+                # small ints (labels, -1 = ignore) shifted by +1
+                u8, kind = (v + 1).astype(np.uint8), "int_u8_off1"
+        elif v.dtype == np.bool_:
+            u8, kind = v.astype(np.uint8), "bool_u8"
+
+        if u8 is not None:
+            u8 = u8.ravel()
+            spec.append((k, kind, tuple(v.shape), off_u, u8.size))
+            parts_u.append(u8)
+            off_u += u8.size
+            continue
         arr = np.ascontiguousarray(v, np.float32).ravel()
         # jax runs x64-disabled: integer labels come back int32 (all label
         # spaces here are tiny); floats keep f32
@@ -104,12 +121,19 @@ def unpack_batch(bufs, spec):
     buf_f, buf_u = bufs
     out = {}
     for k, dtype, shape, off, size in spec:
-        if dtype == "imagenet_u8":
+        if dtype in ("imagenet_u8", "raw_u8", "int_u8_off1", "bool_u8"):
             x = jax.lax.dynamic_slice(buf_u, (off,), (size,)).reshape(shape)
-            x = x.astype(jnp.float32) / 255.0
-            mean = jnp.asarray(IMAGENET_MEAN)[None, :, None, None]
-            std = jnp.asarray(IMAGENET_STD)[None, :, None, None]
-            out[k] = (x - mean) / std
+            if dtype == "imagenet_u8":
+                x = x.astype(jnp.float32) / 255.0
+                mean = jnp.asarray(IMAGENET_MEAN)[None, :, None, None]
+                std = jnp.asarray(IMAGENET_STD)[None, :, None, None]
+                out[k] = (x - mean) / std
+            elif dtype == "raw_u8":
+                out[k] = x.astype(jnp.float32)
+            elif dtype == "int_u8_off1":
+                out[k] = x.astype(jnp.int32) - 1
+            else:
+                out[k] = x.astype(jnp.bool_)
         else:
             x = jax.lax.dynamic_slice(buf_f, (off,), (size,)).reshape(shape)
             out[k] = x.astype(dtype)

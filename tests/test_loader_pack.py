@@ -26,10 +26,13 @@ def test_pack_unpack_round_trip_exact():
     }
     bufs, spec = pack_batch(batch, set(batch) | {"absent"})
     kinds = {k: d for k, d, *_ in spec}
-    # ImageNet-normalized images ride the uint8 buffer (4x less transfer)
+    # ImageNet-normalized images ride the uint8 buffer (4x less transfer);
+    # small ints and bools ride it too; non-integral floats (depth here)
+    # stay f32
     assert kinds["img"] == kinds["img_pos"] == "imagenet_u8"
-    assert kinds["label"] == "int32" and kinds["mask"] == "bool"
-    assert bufs[1].dtype == np.uint8 and bufs[1].size == 2 * 4 * 3 * 16 * 16
+    assert kinds["label"] == "int_u8_off1" and kinds["mask"] == "bool_u8"
+    assert kinds["depth"] == "float32"
+    assert bufs[1].dtype == np.uint8
 
     out = jax.jit(unpack_batch, static_argnums=1)(
         tuple(map(jnp.asarray, bufs)), spec)
@@ -41,6 +44,20 @@ def test_pack_unpack_round_trip_exact():
         np.asarray(out["label"]).astype(np.int64), batch["label"])
     np.testing.assert_array_equal(np.asarray(out["mask"]), batch["mask"])
     np.testing.assert_array_equal(np.asarray(out["depth"]), batch["depth"])
+
+
+def test_pack_integral_float_depth_rides_u8():
+    """Depth decoded from 8-bit PNGs (integer-valued floats in [0, 255])
+    transfers as uint8 exactly."""
+    rng = np.random.default_rng(2)
+    depth = rng.integers(0, 256, (3, 1, 8, 8)).astype(np.float32)
+    bufs, spec = pack_batch({"depth": depth}, {"depth"})
+    assert spec[0][1] == "raw_u8"
+    out = jax.jit(unpack_batch, static_argnums=1)(
+        tuple(map(jnp.asarray, bufs)), spec)
+    got = np.asarray(out["depth"])
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, depth)
 
 
 def test_pack_falls_back_for_non_quantized_images():
