@@ -47,7 +47,9 @@ def topk_neighbors(feats, k: int = 30, chunk: int = 1024, mesh=None,
     cosine sims otherwise reorder under bf16 rounding)."""
     feats = jnp.asarray(feats)
     if mesh is None or mesh.devices.size == 1:
-        return np.asarray(_topk_chunked(feats, k, chunk, precision))
+        # device_get, not np.asarray: the buffer-protocol path on unaligned
+        # int arrays degenerates to element-wise reads on tunneled runtimes
+        return jax.device_get(_topk_chunked(feats, k, chunk, precision))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -66,7 +68,7 @@ def topk_neighbors(feats, k: int = 30, chunk: int = 1024, mesh=None,
                            precision=precision)
 
     idx = sharded(padded)
-    return np.asarray(idx)[:n]
+    return jax.device_get(idx)[:n]
 
 
 # keys are processed in blocks of this many rows so one query chunk never

@@ -28,6 +28,21 @@ import numpy as np
 from scipy.optimize import linear_sum_assignment
 
 
+
+def _fetch(x) -> np.ndarray:
+    """Device->host fetch of a confusion block.
+
+    ``jax.device_get``, NOT ``np.asarray``: on the tunneled runtime the
+    numpy buffer-protocol path on small 2-D device arrays degenerates to
+    per-row round-trips (measured 27 s for a [27, 27] int32 vs 0.02 s via
+    device_get — it silently made metric accumulation the eval wall-clock).
+    """
+    import jax
+
+    if isinstance(x, np.ndarray):
+        return x
+    return jax.device_get(x)
+
 def confusion_update(preds: jnp.ndarray, target: jnp.ndarray,
                      n_classes: int, extra_clusters: int = 0) -> jnp.ndarray:
     """Device-side confusion-matrix increment: [n_classes+extra, n_classes].
@@ -119,13 +134,13 @@ class SegMetrics:
         self.assignments = None
 
     def update(self, preds, target):
-        self.stats += np.asarray(
+        self.stats += _fetch(
             confusion_update(jnp.asarray(preds), jnp.asarray(target),
                              self.n_classes, self.extra_clusters))
 
     def add_stats(self, stats):
         """Add a precomputed (already psum-reduced) confusion block."""
-        self.stats += np.asarray(stats)
+        self.stats += _fetch(stats)
 
     def compute(self):
         metrics, self.assignments = compute_metrics(
@@ -144,7 +159,7 @@ class SegMetrics:
     def update_cherry(self, preds, target):
         if not hasattr(self, "cherry_stats"):
             self.cherry_stats = np.zeros_like(self.stats)
-        self.cherry_stats += np.asarray(
+        self.cherry_stats += _fetch(
             confusion_update(jnp.asarray(preds), jnp.asarray(target),
                              self.n_classes, self.extra_clusters))
 

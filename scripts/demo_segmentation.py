@@ -13,6 +13,8 @@ from os.path import join
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+import jax
 from PIL import Image
 
 from depthg_tpu.config import cli_overrides, load_config
@@ -68,7 +70,7 @@ def main(argv=None):
         if pad:
             imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), np.float32)])
         lin, clu = predict(params, imgs)
-        lin, clu = np.asarray(lin), np.asarray(clu)
+        lin, clu = jax.device_get(lin), jax.device_get(clu)
         for j, name in enumerate(names):
             new_name = ".".join(name.split(".")[:-1]) + ".png"
             Image.fromarray(lin[j].astype(np.uint8)).save(join(result_dir, "linear", new_name))

@@ -142,7 +142,7 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
         batch = next(iter(loader))
         img = batch["img"].astype(np.float32)
         lin, clu = predict(params, img)
-        lin, clu = np.asarray(lin), np.asarray(clu)
+        lin, clu = jax.device_get(lin), jax.device_get(clu)
         clu_mapped = cluster_metrics.map_clusters(clu)
         n_show = min(img.shape[0], int(cfg.get("n_images", 8)))
         rgbs, label_rgb, clu_rgb, lin_rgb = [], [], [], []
