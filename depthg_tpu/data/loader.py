@@ -75,14 +75,14 @@ def pack_batch(batch: dict, keys) -> tuple:
             # (range alone is not enough: an all-zero padded image maps to
             # in-range but non-integral 123.675 and would be silently
             # quantized); 1e-2 covers f32 normalize/denormalize rounding
-            if ((u >= -0.5).all() and (u <= 255.5).all()
+            if (v.size and (u >= -0.5).all() and (u <= 255.5).all()
                     and np.abs(uf - u).max() < 1e-2):
                 u8, kind = np.clip(u, 0, 255).astype(np.uint8), "imagenet_u8"
         elif np.issubdtype(v.dtype, np.floating):
             # integer-valued floats in [0, 255] (e.g. depth decoded from
             # 8-bit PNGs) ride the u8 buffer exactly
             u = np.rint(v)
-            if ((v >= 0).all() and (v <= 255).all()
+            if (v.size and (v >= 0).all() and (v <= 255).all()
                     and np.abs(v - u).max() == 0.0):
                 u8, kind = u.astype(np.uint8), "raw_u8"
         elif np.issubdtype(v.dtype, np.integer):

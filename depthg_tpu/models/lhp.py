@@ -131,8 +131,18 @@ def lhp_apply(params: dict, cfg: LHPConfig, code: jnp.ndarray,
               depth: jnp.ndarray | None = None, img=None,
               attn: jnp.ndarray | None = None) -> jnp.ndarray:
     """code [B, C, H, W] -> projected code, reference ``forward`` dispatch
-    (``src/modules.py:190-199``): no depth or no attn -> projection only."""
-    if depth is None or attn is None:
+    (``src/modules.py:190-199``): missing inputs -> projection only.
+
+    The reference's condition is ``depth is None or attn is None``, but its
+    trainer ALWAYS passes a real attn (torch modules return it
+    unconditionally), so attn-presence only ever gates the "attn" strategy
+    in practice. Here attn may legitimately be None because the flash
+    backbone never materializes the [N, N] matrix — requiring it for the
+    "depth" strategy (which never reads its values) would force the O(N^2)
+    einsum path for nothing, so the guard is strategy-aware. Behaviorally
+    identical to the reference on every input it can produce.
+    """
+    if depth is None or (cfg.propagation_strategy == "attn" and attn is None):
         return _project(params, code)
 
     b, c, h, w = code.shape

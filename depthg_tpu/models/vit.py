@@ -210,6 +210,11 @@ def resolve_attn_impl(impl: str, need_attn: bool, precision: str | None) -> str:
     cannot return attn maps, so callers that need them (LHP attn propagation,
     golden tests) keep the einsum path."""
     if impl != "auto":
+        if impl == "flash" and need_attn:
+            raise ValueError(
+                "attention_impl='flash' cannot return attention maps, but "
+                "this configuration consumes them (LHP attn propagation) — "
+                "use 'auto' or 'xla'")
         return impl
     if need_attn or precision is not None:
         return "xla"

@@ -197,13 +197,11 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
     depth_pos = batch.get("depth_pos")
 
     k1, k2, k3, k3b, k4, k5 = jax.random.split(key, 6)
-    # LHP needs a REAL attn whenever it is on — not just for the "attn"
-    # strategy: the reference's dispatch (src/modules.py:190-192) falls back
-    # to projection-only when attn is None, and its trainer always passes
-    # one, so a flash-path attn=None would silently disable depth
-    # propagation too. Flash (which cannot return the matrix) stays the
-    # default only for lhp=False runs.
-    need_attn = hp.lhp
+    # the attn matrix's VALUES are consumed only by LHP attn propagation
+    # (the "depth" strategy's guard is strategy-aware — models/lhp.py);
+    # keeping need_attn False otherwise lets the backbone take the fused
+    # flash-attention path
+    need_attn = hp.lhp and hp.lhp_propagation_strategy == "attn"
     bdt = None if hp.backbone_dtype == "float32" else hp.backbone_dtype
     out = _apply_featurizer(net_params, img, fcfg, depth=depth, key=k1, train=True,
                             precision=hp.precision, need_attn=need_attn,

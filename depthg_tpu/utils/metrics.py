@@ -34,7 +34,7 @@ def _fetch(x) -> np.ndarray:
 
     ``jax.device_get``, NOT ``np.asarray``: on the tunneled runtime the
     numpy buffer-protocol path on small 2-D device arrays degenerates to
-    per-row round-trips (measured 27 s for a [27, 27] int32 vs 0.02 s via
+    per-row round-trips (measured 27-91 s across runs for ONE [27, 27] int32 vs 0.02 s via
     device_get — it silently made metric accumulation the eval wall-clock).
     """
     import jax
