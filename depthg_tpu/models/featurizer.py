@@ -163,7 +163,12 @@ def dispatch_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
         DepthFeaturizerConfig,
         depth_featurizer_apply,
     )
+    from depthg_tpu.models.pyramid import PyramidConfig, pyramid_featurizer_apply
 
+    if isinstance(fcfg, PyramidConfig):
+        # arch="feature-pyramid" (reference src/train_segmentation.py:99-101):
+        # frozen ResNet + trainable pyramid head; depth/attn/dropout unused
+        return pyramid_featurizer_apply(params, img, fcfg, train=train)
     if isinstance(fcfg, DepthFeaturizerConfig):
         return depth_featurizer_apply(params, img, fcfg, depth=depth, key=key,
                                       train=train, precision=precision,

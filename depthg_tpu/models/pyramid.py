@@ -35,6 +35,21 @@ def batch_norm(p, x, eps=1e-5):
             * p["g"][None, :, None, None] + p["b"][None, :, None, None])
 
 
+def batch_norm_train(p, x, eps=1e-5):
+    """torch train-mode BN: normalize by biased batch stats; also return the
+    batch statistics (mean, UNBIASED var — torch's running_var update uses the
+    unbiased estimator) for the caller's running-stat EMA."""
+    axes = (0, 2, 3)
+    mean = jnp.mean(x, axes)
+    var = jnp.var(x, axes)
+    n = x.shape[0] * x.shape[2] * x.shape[3]
+    var_unbiased = var * (n / max(n - 1, 1))
+    inv = jax.lax.rsqrt(var + eps)
+    y = ((x - mean[None, :, None, None]) * inv[None, :, None, None]
+         * p["g"][None, :, None, None] + p["b"][None, :, None, None])
+    return y, {"mean": mean, "var": var_unbiased}
+
+
 def _bottleneck_init(key, in_ch, mid, out_ch, stride, dtype=jnp.float32):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     p = {
@@ -324,6 +339,12 @@ class PyramidConfig:
     feat_channels: tuple = (2048, 1024, 512, 3)
     extra_channels: tuple = (128, 64, 32, 32)
     out_size: int = 56  # the reference's hard-coded interpolation target
+    bn_momentum: float = 0.1  # torch BatchNorm2d default
+
+    @property
+    def n_feats(self) -> int:
+        # reference FeaturePyramidNet.n_feats = self.dim (src/modules.py:707)
+        return self.dim
 
 
 def _double_conv_init(key, in_ch, out_ch, dtype=jnp.float32):
@@ -335,6 +356,15 @@ def _double_conv_init(key, in_ch, out_ch, dtype=jnp.float32):
 def _double_conv(p, x):
     x = jax.nn.relu(batch_norm(p["bn1"], conv2d(p["conv1"], x, padding=1)))
     return jax.nn.relu(batch_norm(p["bn2"], conv2d(p["conv2"], x, padding=1)))
+
+
+def _double_conv_train(p, x):
+    """Train-mode DoubleConv: batch-stat BN (reference trains the pyramid's
+    BN layers, ``src/modules.py:769-786``); returns batch stats per BN."""
+    x, s1 = batch_norm_train(p["bn1"], conv2d(p["conv1"], x, padding=1))
+    x = jax.nn.relu(x)
+    x, s2 = batch_norm_train(p["bn2"], conv2d(p["conv2"], x, padding=1))
+    return jax.nn.relu(x), {"bn1": s1, "bn2": s2}
 
 
 def pyramid_init(key: jax.Array, cfg: PyramidConfig, dtype=jnp.float32) -> dict:
@@ -354,9 +384,8 @@ def pyramid_init(key: jax.Array, cfg: PyramidConfig, dtype=jnp.float32) -> dict:
     return params
 
 
-def pyramid_apply(params: dict, backbone: dict, x: jnp.ndarray, cfg: PyramidConfig):
-    """Returns (low_res_feats, clusters) like reference ``forward``
-    (``src/modules.py:732-766``)."""
+def _pyramid_forward(params: dict, backbone: dict, x: jnp.ndarray,
+                     cfg: PyramidConfig, train: bool):
     feats = resnet50_activations(backbone, x, cfg.layer_nums)
     feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
     low = feats[cfg.layer_nums[-1]]
@@ -364,23 +393,79 @@ def pyramid_apply(params: dict, backbone: dict, x: jnp.ndarray, cfg: PyramidConf
     def clusterer(p, t):
         return resize_bilinear(conv2d(p, t), cfg.out_size)[..., None]
 
+    def dconv(name, t):
+        if train:
+            y, s = _double_conv_train(params[name], t)
+            bn_stats[name] = s
+            return y
+        return _double_conv(params[name], t)
+
+    bn_stats: dict = {}
     all_clusters = [clusterer(params["cluster1"], low)]
     if cfg.granularity >= 2:
         up = resize_bilinear(low, (low.shape[-2] * 2, low.shape[-1] * 2))
-        f2 = _double_conv(params["conv2"],
-                          jnp.concatenate([up, feats[cfg.layer_nums[-2]]], axis=1))
+        f2 = dconv("conv2", jnp.concatenate([up, feats[cfg.layer_nums[-2]]], axis=1))
         all_clusters.append(clusterer(params["cluster2"], f2))
     if cfg.granularity >= 3:
         up = resize_bilinear(f2, (f2.shape[-2] * 2, f2.shape[-1] * 2))
-        f3 = _double_conv(params["conv3"],
-                          jnp.concatenate([up, feats[cfg.layer_nums[-3]]], axis=1))
+        f3 = dconv("conv3", jnp.concatenate([up, feats[cfg.layer_nums[-3]]], axis=1))
         all_clusters.append(clusterer(params["cluster3"], f3))
     if cfg.granularity >= 4:
         up = resize_bilinear(f3, (f3.shape[-2] * 2, f3.shape[-1] * 2))
         img_ds = resize_bilinear(x, cfg.out_size)
-        f4 = _double_conv(params["conv4"], jnp.concatenate([up, img_ds], axis=1))
+        f4 = dconv("conv4", jnp.concatenate([up, img_ds], axis=1))
         all_clusters.append(clusterer(params["cluster4"], f4))
 
     avg_code = jnp.concatenate(all_clusters, axis=4).mean(axis=4)
     clusters = avg_code if cfg.continuous else jax.nn.log_softmax(avg_code, axis=1)
+    return low, clusters, bn_stats
+
+
+def pyramid_apply(params: dict, backbone: dict, x: jnp.ndarray, cfg: PyramidConfig):
+    """Returns (low_res_feats, clusters) like reference ``forward``
+    (``src/modules.py:732-766``); eval mode (running-stat BN)."""
+    low, clusters, _ = _pyramid_forward(params, backbone, x, cfg, train=False)
     return low, clusters
+
+
+# ---------------- featurizer-compatible wrapper (arch="feature-pyramid") ----
+
+
+def pyramid_featurizer_init(key: jax.Array, cfg: PyramidConfig,
+                            dtype=jnp.float32) -> dict:
+    """Segmenter net layout for arch="feature-pyramid": the pyramid head
+    params plus the frozen backbone under the generic ``vit`` slot (the name
+    the train state uses for whatever frozen backbone the arch carries)."""
+    kb, kp = jax.random.split(key)
+    return {"vit": resnet50_init(kb, dtype), **pyramid_init(kp, cfg, dtype)}
+
+
+def pyramid_featurizer_apply(params: dict, img: jnp.ndarray, cfg: PyramidConfig,
+                             train: bool = False) -> dict:
+    """dispatch_apply-compatible forward: ``params`` = pyramid head params +
+    the backbone under ``vit``. Returns dict(feats, code, attn=None[,
+    bn_stats]) — ``bn_stats`` (train only) are the DoubleConv batch statistics
+    for the caller's running-stat EMA (see ``merge_bn_stats``)."""
+    head = {k: v for k, v in params.items() if k != "vit"}
+    low, clusters, bn_stats = _pyramid_forward(head, params["vit"], img, cfg, train)
+    out = {"feats": low, "code": clusters, "attn": None}
+    if train:
+        out["bn_stats"] = bn_stats
+    return out
+
+
+def merge_bn_stats(net_params: dict, bn_stats_list, momentum: float = 0.1) -> dict:
+    """Fold batch statistics into the BN running stats (torch semantics:
+    ``running = (1-m)*running + m*batch`` per forward, applied in forward
+    order — the reference updates on every train-mode forward)."""
+    out = dict(net_params)
+    for bn_stats in bn_stats_list:
+        for conv_name, convs in bn_stats.items():
+            blk = dict(out[conv_name])
+            for bn_name, stats in convs.items():
+                bn = dict(blk[bn_name])
+                bn["mean"] = (1 - momentum) * bn["mean"] + momentum * stats["mean"]
+                bn["var"] = (1 - momentum) * bn["var"] + momentum * stats["var"]
+                blk[bn_name] = bn
+            out[conv_name] = blk
+    return out

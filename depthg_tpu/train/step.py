@@ -129,8 +129,14 @@ _apply_featurizer = featurizer_lib.dispatch_apply
 def init_state(key: jax.Array, fcfg: featurizer_lib.FeaturizerConfig,
                hp: TrainHParams) -> dict:
     """Build the full train state pytree."""
+    from depthg_tpu.models.pyramid import PyramidConfig
+
     kf, kl, kc, kd, kt = jax.random.split(key, 5)
-    if _is_depth_arch(fcfg):
+    if isinstance(fcfg, PyramidConfig):
+        from depthg_tpu.models.pyramid import pyramid_featurizer_init
+
+        net = pyramid_featurizer_init(kf, fcfg)
+    elif _is_depth_arch(fcfg):
         from depthg_tpu.models.featurizer_depth import depth_featurizer_init
 
         net = depth_featurizer_init(kf, fcfg)
@@ -210,6 +216,12 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
 
     logs: dict[str, Any] = {}
     loss = 0.0
+    # pyramid DoubleConv BN batch stats, in forward order (running-stat EMA is
+    # applied by train_step after the gradient step — torch updates them on
+    # every train-mode forward, outside autograd)
+    bn_stats_list = []
+    if "bn_stats" in out:
+        bn_stats_list.append(out["bn_stats"])
 
     lhp_code = lhp_code_pos = None
     if hp.lhp:
@@ -225,6 +237,8 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
                                     depth=depth_pos, key=k2, train=True,
                                     precision=hp.precision, backbone_dtype=bdt)
         feats_pos, code_pos = out_pos["feats"], out_pos["code"]
+        if "bn_stats" in out_pos:
+            bn_stats_list.append(out_pos["bn_stats"])
         if hp.lhp:
             # positive side: projection-only (reference passes depth=None,
             # src/train_segmentation.py:215)
@@ -317,6 +331,8 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
                                     key=k4, train=True, precision=hp.precision,
                                     backbone_dtype=bdt)
         code_aug = out_aug["code"]
+        if "bn_stats" in out_aug:
+            bn_stats_list.append(out_aug["bn_stats"])
         coord_aug = jnp.transpose(batch["coord_aug"], (0, 3, 1, 2))
         down = resize_bilinear(coord_aug, code_aug.shape[2])
         down = jnp.transpose(down, (0, 2, 3, 1))
@@ -346,6 +362,8 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
     logs["loss/cluster"] = cluster_loss
     loss = loss + cluster_loss
     logs["loss/total"] = loss
+    if bn_stats_list:
+        logs["aux/bn_stats"] = bn_stats_list
     return loss, logs
 
 
@@ -364,6 +382,8 @@ def train_step(state: dict, batch: dict, key: jax.Array,
     (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         trainable, state["frozen"], batch, key, fcfg, hp, lcfg,
         depth_feat_weight, depth_feat_shift)
+    logs = dict(logs)
+    bn_stats_list = logs.pop("aux/bn_stats", None)
 
     opts = make_optimizers(hp)
     net_grads = _net_group(grads, hp)
@@ -381,6 +401,11 @@ def train_step(state: dict, batch: dict, key: jax.Array,
         new_params["decoder"] = new_net_group["decoder"]
     new_params["linear_probe"] = optax.apply_updates(params["linear_probe"], lin_updates)
     new_params["cluster_probe"] = optax.apply_updates(params["cluster_probe"], clu_updates)
+    if bn_stats_list:
+        from depthg_tpu.models.pyramid import merge_bn_stats
+
+        new_params["net"] = merge_bn_stats(new_params["net"], bn_stats_list,
+                                           getattr(fcfg, "bn_momentum", 0.1))
 
     new_state = {
         "params": new_params,

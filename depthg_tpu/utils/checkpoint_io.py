@@ -29,6 +29,14 @@ def fcfg_from_run_cfg(cfg) -> FeaturizerConfig:
 
         return DepthFeaturizerConfig(guidance=str(cfg.get("guidance", "none")),
                                      **kwargs)
+    if cfg.get("arch") == "feature-pyramid":
+        # reference src/train_segmentation.py:99-101: FeaturePyramidNet over a
+        # frozen load_model backbone (resnet50-family channel layout)
+        from depthg_tpu.models.pyramid import PyramidConfig
+
+        return PyramidConfig(granularity=int(cfg.get("granularity", 1)),
+                             dim=int(cfg.get("dim", 70)),
+                             continuous=bool(cfg.get("continuous", True)))
     return FeaturizerConfig(**kwargs)
 
 

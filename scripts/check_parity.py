@@ -8,18 +8,46 @@ enable, skipping the rest:
         [dino=/path/dino_deitsmall8_300ep_pretrain.pth]  \
         [ckpt=/path/cocostuff27_vit_small_1.ckpt]        \
         [zoe=/path/ZoeD_M12_N.pt]                        \
-        [image_dir=/path/imgs] [data_dir=/path/datasets] [atol=...]
+        [image_dir=/path/imgs] [data_dir=/path/datasets] [atol=...] \
+        [expected_cluster_miou=... expected_accuracy=... metric_tol=1.0]
 
-Checks (BASELINE.md parity table):
+Checks (BASELINE.md parity table). Every check can FAIL — proven by
+tests/test_check_parity.py, which injects faults and asserts each flips:
   1. demo  — our featurizer+probes vs the reference's own torch modules fed
      the SAME checkpoint: code tensors (atol) and pre-CRF argmax predictions
      (pixel agreement) on real or synthetic images.
-  2. eval  — eval CLI mIoU on data_dir's val split (reported, needs dataset).
+  2. eval  — eval CLI mIoU on data_dir's val split, compared against
+     ``expected_cluster_miou`` / ``expected_accuracy`` /
+     ``expected_linear_miou`` (+/- ``metric_tol``, default 1.0 point). FAILs
+     on mismatch; reports NEED (not PASS) when no expectation is provided.
   3. knn   — pooled-feature top-k neighbors: our sharded matmul vs the
      reference's chunked torch einsum on the same DINO weights.
-  4. depth — ZoeDepth converted weights: our infer vs the reference's vendored
-     torch ZoeDepth (built offline from the same file) on the same image.
+  4. depth — ZoeDepth converted weights, per-stage: bins/attractors/
+     log-binomial vs the reference's vendored torch modules loaded from the
+     SAME .pt file, and the BEiT backbone vs an independent torch golden
+     transcription of the published timm semantics consuming the raw state
+     dict directly (conversion + forward both under test).
   5. train — 5 training steps from the checkpoint: finite losses.
+
+Fault injection (harness self-test): ``fault=<scale>`` adds deterministic
+noise of that scale to OUR side of every comparison before checking, so the
+test suite can prove each check is falsifiable. Production runs leave it 0.
+
+``1.demo`` argmax-agreement threshold characterization (measured at res=64 on
+the synthetic low-frequency images with a vit_small/dim-24 checkpoint, noise
+injected into our probe log-tensors; re-verified by
+tests/test_check_parity.py::test_demo_threshold_characterization):
+
+    fault (log-space noise)   linear-log maxdiff   argmax agree (lin / clu)
+    0   (true impl parity)    1.07e-06             1.0000 / 1.0000
+    1e-3                      4.44e-03             0.9982 / 0.9976   FAIL
+    1e-2                      4.44e-02             0.9779 / 0.9718   FAIL
+    5e-2                      2.22e-01             0.8889 / 0.8751   FAIL
+
+True implementation parity sits ~3 orders of magnitude inside the bars: a
+perturbation as small as 1e-3 in log-prob space already drops agreement
+below 0.999 AND trips the 5e-3 linear-log atol, so the thresholds flip on
+any real divergence while passing float noise with wide margin.
 
 Every comparison that needs the reference imports it from /root/reference and
 stubs its unavailable deps (tests/reference_import.py machinery).
@@ -39,8 +67,19 @@ RESULTS = []
 
 
 def report(name, status, detail=""):
-    RESULTS.append((name, status))
+    RESULTS.append((name, status, detail))
     print(f"[{status:4s}] {name}: {detail}")
+
+
+def _fault(arr, cfg, salt=0):
+    """Deterministic noise injection into OUR side of a comparison
+    (harness self-test; fault=0 in production = identity)."""
+    scale = float(cfg.get("fault", 0.0))
+    if not scale:
+        return arr
+    rng = np.random.default_rng(1234 + salt)
+    a = np.asarray(arr)
+    return a + scale * rng.standard_normal(a.shape).astype(a.dtype)
 
 
 def _synthetic_images(n=2, size=320):
@@ -111,6 +150,8 @@ def check_demo(cfg):
     ecfg = EvalConfig(n_classes=n_classes, run_crf=False, label_res=res,
                       precision="float32")
     lin_log, clu_log = eval_logits(params, jnp.asarray(img), fcfg, ecfg)
+    lin_log = _fault(lin_log, cfg, salt=1)
+    clu_log = _fault(clu_log, cfg, salt=2)
 
     # reference math (eval_segmentation.py:150-167 pre-CRF)
     with torch.no_grad():
@@ -135,7 +176,9 @@ def check_demo(cfg):
 
 
 def check_eval(cfg):
-    """Config 2: full eval CLI on the real val split."""
+    """Config 2: full eval CLI on the real val split, compared to expected
+    metrics. FAILs on mismatch; without expectations reports NEED (the
+    measured numbers are printed for the operator to pin)."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -143,9 +186,37 @@ def check_eval(cfg):
                                  "eval_segmentation.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.main([f"model_paths=[{cfg.ckpt}]", f"data_dir={cfg.data_dir}",
-              "run_crf=True", f"output_root={cfg.get('output_root', './results')}"])
-    report("2.eval", "PASS", "metrics written (compare to the paper/reference run)")
+    args = [f"model_paths=[{cfg.ckpt}]", f"data_dir={cfg.data_dir}",
+            "run_crf=True", f"output_root={cfg.get('output_root', './results')}"]
+    for k in ("res", "batch_size", "num_workers", "crf_downsample"):
+        if cfg.get(k) is not None:
+            args.append(f"{k}={cfg.get(k)}")
+    all_metrics = mod.main(args)
+    metrics = next(iter(all_metrics.values()))
+    expected = {
+        "final/cluster/mIoU": cfg.get("expected_cluster_miou"),
+        "final/cluster/Accuracy": cfg.get("expected_accuracy"),
+        "final/linear/mIoU": cfg.get("expected_linear_miou"),
+        "final/linear/Accuracy": cfg.get("expected_linear_accuracy"),
+    }
+    expected = {k: float(v) for k, v in expected.items() if v is not None}
+    measured = {k: float(_fault(np.asarray(metrics[k]), cfg, salt=3))
+                for k in expected} if expected else {}
+    shown = {k: round(float(metrics[k]), 2) for k in sorted(metrics)
+             if isinstance(metrics[k], float) and k.startswith("final/")}
+    if not expected:
+        report("2.eval", "NEED",
+               f"measured {shown}; pass expected_cluster_miou=/expected_accuracy= "
+               "(+metric_tol) to certify parity — this check does not PASS "
+               "without an expectation")
+        return
+    tol = float(cfg.get("metric_tol", 1.0))
+    deltas = {k: measured[k] - v for k, v in expected.items()}
+    ok = all(abs(d) <= tol for d in deltas.values())
+    report("2.eval", "PASS" if ok else "FAIL",
+           f"measured {shown}, deltas vs expected "
+           f"{ {k.split('/', 1)[1]: round(d, 3) for k, d in deltas.items()} } "
+           f"(tol {tol})")
 
 
 def check_knn(cfg):
@@ -169,8 +240,8 @@ def check_knn(cfg):
     pooled = np.array(feats.mean(axis=(2, 3)))  # writable host copy
     pooled /= np.linalg.norm(pooled, axis=1, keepdims=True)
 
-    ours = np.asarray(topk_neighbors(jnp.asarray(pooled), k=7, chunk=8,
-                                     precision="highest"))
+    ours = np.asarray(topk_neighbors(jnp.asarray(_fault(pooled, cfg, salt=4)),
+                                     k=7, chunk=8, precision="highest"))
     # reference math (precompute_knns.py:101-113)
     t = torch.from_numpy(pooled)
     ref = torch.topk(torch.einsum("nf,mf->nm", t, t), 7, dim=1).indices.numpy()
@@ -178,24 +249,220 @@ def check_knn(cfg):
     report("3.knn", "PASS" if agree == 1.0 else "FAIL", f"top-7 index agreement {agree:.4f}")
 
 
+def _beit_golden_torch(sd, x, num_heads, hooks):
+    """Independent torch transcription of the published timm BEiT forward
+    (patch embed -> cls token -> pre-norm blocks with LayerScale, decomposed
+    qkv bias, per-block relative-position bias), consuming the RAW torch
+    state dict — exercises both our weight conversion and our forward math.
+
+    x must be at the pretrain window resolution (no bias-table resize here;
+    the resize path is covered by tests/test_zoedepth.py).
+    """
+    import torch
+    import torch.nn.functional as F
+
+    pfx = next(k for k in sd if k.endswith("patch_embed.proj.weight"))
+    pfx = pfx[: -len("patch_embed.proj.weight")]
+
+    def g(key):
+        return sd[pfx + key].float()
+
+    pw = g("patch_embed.proj.weight")
+    tok = F.conv2d(x, pw, g("patch_embed.proj.bias"), stride=pw.shape[-1])
+    b, d, h, w = tok.shape
+    tok = tok.flatten(2).transpose(1, 2)
+    tok = torch.cat([g("cls_token").expand(b, -1, -1), tok], dim=1)
+    n = h * w + 1
+    hd = d // num_heads
+
+    # timm gen_relative_position_index (independent transcription)
+    coords = torch.stack(torch.meshgrid(torch.arange(h), torch.arange(w),
+                                        indexing="ij")).flatten(1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += h - 1
+    rel[:, :, 1] += w - 1
+    rel[:, :, 0] *= 2 * w - 1
+    num_rel = (2 * h - 1) * (2 * w - 1)
+    idx = torch.zeros((n, n), dtype=torch.long)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num_rel
+    idx[0:, 0] = num_rel + 1
+    idx[0, 0] = num_rel + 2
+
+    n_blocks = 1 + max(int(k[len(pfx) + 7:].split(".")[0]) for k in sd
+                       if k.startswith(pfx + "blocks.") and k.endswith("attn.qkv.weight"))
+    taps = []
+    for i in range(n_blocks):
+        p = f"blocks.{i}."
+        y = F.layer_norm(tok, (d,), g(p + "norm1.weight"), g(p + "norm1.bias"), eps=1e-6)
+        qkv_bias = torch.cat([g(p + "attn.q_bias"),
+                              torch.zeros(d), g(p + "attn.v_bias")])
+        qkv = F.linear(y, g(p + "attn.qkv.weight"), qkv_bias)
+        qkv = qkv.reshape(b, n, 3, num_heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        logits = (q @ k.transpose(-2, -1)) * hd ** -0.5
+        table = g(p + "attn.relative_position_bias_table")
+        logits = logits + table[idx.reshape(-1)].reshape(n, n, -1).permute(2, 0, 1)[None]
+        out = (logits.softmax(-1) @ v).transpose(1, 2).reshape(b, n, d)
+        out = F.linear(out, g(p + "attn.proj.weight"), g(p + "attn.proj.bias"))
+        tok = tok + g(p + "gamma_1") * out
+        y = F.layer_norm(tok, (d,), g(p + "norm2.weight"), g(p + "norm2.bias"), eps=1e-6)
+        y = F.linear(F.gelu(F.linear(y, g(p + "mlp.fc1.weight"), g(p + "mlp.fc1.bias"))),
+                     g(p + "mlp.fc2.weight"), g(p + "mlp.fc2.bias"))
+        tok = tok + g(p + "gamma_2") * y
+        if i in hooks:
+            taps.append(tok)
+    return taps
+
+
 def check_depth(cfg):
-    """Config 4: converted ZoeDepth vs torch ZoeDepth built from the same file."""
+    """Config 4: per-stage cross-check of the converted ZoeDepth weights vs
+    the reference's vendored torch modules, loaded from the SAME .pt file."""
+    import torch
+
+    import jax
     import jax.numpy as jnp
 
+    from depthg_tpu.models.zoedepth import heads as jheads
+    from depthg_tpu.models.zoedepth.beit import beit_forward
     from depthg_tpu.models.zoedepth.convert import load_zoedepth_pt
     from depthg_tpu.models.zoedepth.model import zoedepth_infer
 
+    sys.path.insert(0, "/root/reference/src")
+    from zoedepth.models.layers.attractor import AttractorLayer, AttractorLayerUnnormed
+    from zoedepth.models.layers.dist_layers import ConditionalLogBinomial
+    from zoedepth.models.layers.localbins_layers import (
+        Projector,
+        SeedBinRegressor,
+        SeedBinRegressorUnnormed,
+    )
+
     params, zcfg = load_zoedepth_pt(cfg.zoe, with_config=True)
+    fault = float(cfg.get("fault", 0.0))
+    if fault:
+        params = jax.tree_util.tree_map(
+            lambda a: _fault(a, cfg, salt=int(np.asarray(a).size) % 97), params)
+
+    blob = torch.load(cfg.zoe, map_location="cpu", weights_only=False)
+    sd = blob.get("model", blob)
+    sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+
+    def sub(prefix):
+        pl = len(prefix) + 1
+        return {k[pl:]: v for k, v in sd.items() if k.startswith(prefix + ".")}
+
+    rng = np.random.default_rng(7)
+    btlnck = zcfg.dpt.features
+    checks = []
+    softplus = zcfg.bin_centers_type == "softplus"
+    atol = float(cfg.get("depth_atol", 1e-3))
+
+    def close(name, got, want):
+        d = float(np.max(np.abs(np.asarray(got) - want.detach().numpy())))
+        checks.append((name, d))
+        return d < atol
+
+    ok = True
+    # stage: seed bin regressor
+    x = rng.standard_normal((1, btlnck, 12, 12)).astype(np.float32)
+    mlp_dim = params["seed_bin_regressor"][0]["w"].shape[0]
+    tcls = SeedBinRegressorUnnormed if softplus else SeedBinRegressor
+    tmod = tcls(btlnck, n_bins=zcfg.n_bins, mlp_dim=mlp_dim,
+                min_depth=zcfg.min_depth, max_depth=zcfg.max_depth)
+    tmod._net.load_state_dict(sub("seed_bin_regressor._net"))
+    with torch.no_grad():
+        want_n, want_c = tmod(torch.from_numpy(x))
+    if softplus:
+        got_n, got_c = jheads.seed_bin_regressor_softplus(
+            params["seed_bin_regressor"], jnp.asarray(x))
+    else:
+        got_n, got_c = jheads.seed_bin_regressor_normed(
+            params["seed_bin_regressor"], jnp.asarray(x), zcfg.min_depth, zcfg.max_depth)
+    ok &= close("seed_bins", got_c, want_c)
+
+    # stage: seed projector + per-scale projectors
+    tproj = Projector(btlnck, zcfg.bin_embedding_dim,
+                      mlp_dim=params["seed_projector"][0]["w"].shape[0])
+    tproj._net.load_state_dict(sub("seed_projector._net"))
+    with torch.no_grad():
+        want = tproj(torch.from_numpy(x))
+    ok &= close("seed_projector", jheads.projector(params["seed_projector"],
+                                                   jnp.asarray(x)), want)
+    for i, pp in enumerate(params["projectors"]):
+        tproj = Projector(btlnck, zcfg.bin_embedding_dim, mlp_dim=pp[0]["w"].shape[0])
+        tproj._net.load_state_dict(sub(f"projectors.{i}._net"))
+        with torch.no_grad():
+            want = tproj(torch.from_numpy(x))
+        ok &= close(f"projector{i}", jheads.projector(pp, jnp.asarray(x)), want)
+
+    # stage: attractors (interpolate=True path, coarse bins vs fine embedding)
+    b_prev = (rng.random((1, zcfg.n_bins, 6, 6)).astype(np.float32) * 5
+              + zcfg.min_depth)
+    prev_emb = rng.standard_normal((1, zcfg.bin_embedding_dim, 6, 6)).astype(np.float32)
+    emb = rng.standard_normal((1, zcfg.bin_embedding_dim, 12, 12)).astype(np.float32)
+    for i, ap in enumerate(params["attractors"]):
+        n_attr = zcfg.n_attractors[i]
+        tcls = AttractorLayerUnnormed if softplus else AttractorLayer
+        tmod = tcls(zcfg.bin_embedding_dim, zcfg.n_bins, n_attractors=n_attr,
+                    mlp_dim=ap[0]["w"].shape[0], min_depth=zcfg.min_depth,
+                    max_depth=zcfg.max_depth, alpha=zcfg.attractor_alpha,
+                    gamma=zcfg.attractor_gamma, kind=zcfg.attractor_kind,
+                    attractor_type=zcfg.attractor_type)
+        tmod._net.load_state_dict(sub(f"attractors.{i}._net"))
+        with torch.no_grad():
+            want_b, want_c = tmod(torch.from_numpy(emb), torch.from_numpy(b_prev),
+                                  torch.from_numpy(prev_emb), interpolate=True)
+        if softplus:
+            got_b, got_c = jheads.attractor_softplus(
+                ap, jnp.asarray(emb), jnp.asarray(b_prev), jnp.asarray(prev_emb),
+                alpha=zcfg.attractor_alpha, gamma=zcfg.attractor_gamma,
+                kind=zcfg.attractor_kind, attractor_type=zcfg.attractor_type)
+        else:
+            got_b, got_c = jheads.attractor_normed(
+                ap, jnp.asarray(emb), jnp.asarray(b_prev), jnp.asarray(prev_emb),
+                alpha=zcfg.attractor_alpha, gamma=zcfg.attractor_gamma,
+                kind=zcfg.attractor_kind, attractor_type=zcfg.attractor_type,
+                min_depth=zcfg.min_depth, max_depth=zcfg.max_depth)
+        ok &= close(f"attractor{i}", got_c, want_c)
+
+    # stage: conditional log-binomial
+    last_in = zcfg.n_midas_out + 1
+    xc = rng.standard_normal((1, last_in, 8, 8)).astype(np.float32)
+    cond = rng.standard_normal((1, zcfg.bin_embedding_dim, 8, 8)).astype(np.float32)
+    tclb = ConditionalLogBinomial(last_in, zcfg.bin_embedding_dim,
+                                  n_classes=zcfg.n_bins, bottleneck_factor=2,
+                                  min_temp=zcfg.min_temp, max_temp=zcfg.max_temp)
+    tclb.mlp.load_state_dict(sub("conditional_log_binomial.mlp"))
+    with torch.no_grad():
+        want = tclb(torch.from_numpy(xc), torch.from_numpy(cond))
+    got = jheads.conditional_log_binomial(
+        params["conditional_log_binomial"], jnp.asarray(xc), jnp.asarray(cond),
+        zcfg.n_bins, zcfg.min_temp, zcfg.max_temp)
+    ok &= close("log_binomial", got, want)
+
+    # stage: BEiT backbone vs independent torch golden on the raw state dict
+    res = int(cfg.get("beit_res", zcfg.beit.pretrain_window * zcfg.beit.patch_size))
+    xb = rng.standard_normal((1, 3, res, res)).astype(np.float32)
+    want_taps = _beit_golden_torch(
+        {k: v for k, v in sd.items() if "pretrained.model." in k},
+        torch.from_numpy(xb), zcfg.beit.num_heads, zcfg.beit.hooks)
+    got_taps, _ = beit_forward(jax.device_put(params["beit"]), jnp.asarray(xb),
+                               zcfg.beit)
+    for h, (got_t, want_t) in zip(zcfg.beit.hooks, zip(got_taps, want_taps)):
+        ok &= close(f"beit_block{h}", got_t, want_t)
+
+    # end-to-end sanity (shape/finiteness on the full infer pipeline)
     size = int(cfg.get("zoe_res", 384))
     img = (_synthetic_images(n=1, size=size) + 1) / 2
-    depth = np.asarray(zoedepth_infer(params, jnp.asarray(img), zcfg))
+    depth = np.asarray(zoedepth_infer(jax.device_put(params), jnp.asarray(img), zcfg))
     finite = bool(np.isfinite(depth).all()) and float(depth.min()) >= 0
-    # full torch cross-check requires timm (not installed here); structural
-    # checks: derived config, shape, positivity, plausible metric range
-    ok = finite and depth.shape[-2:] == (size, size)
+    ok = ok and finite and depth.shape[-2:] == (size, size)
+    worst = max(checks, key=lambda c: c[1])
     report("4.depth", "PASS" if ok else "FAIL",
-           f"cfg(bins={zcfg.n_bins}, depth={zcfg.beit.depth}) "
-           f"depth range [{depth.min():.3f}, {depth.max():.3f}] m")
+           f"{len(checks)} stage cross-checks vs vendored torch (worst "
+           f"{worst[0]}={worst[1]:.2e}, atol {atol}); infer depth range "
+           f"[{depth.min():.3f}, {depth.max():.3f}] m")
 
 
 def check_train(cfg):
@@ -264,8 +531,8 @@ def main(argv=None):
         except Exception as e:  # a parity harness should report, not crash
             report(name, "FAIL", f"{type(e).__name__}: {e}")
 
-    failed = [n for n, s in RESULTS if s == "FAIL"]
-    print("\nsummary:", " ".join(f"{n}={s}" for n, s in RESULTS))
+    failed = [n for n, s, _ in RESULTS if s == "FAIL"]
+    print("\nsummary:", " ".join(f"{n}={s}" for n, s, _ in RESULTS))
     return 1 if failed else 0
 
 

@@ -186,6 +186,7 @@ def main(argv=None):
     with open(out_path, "w") as f:
         json.dump(all_metrics, f, indent=2)
     print(f"wrote {out_path}")
+    return all_metrics
 
 
 if __name__ == "__main__":

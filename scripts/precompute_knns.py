@@ -22,12 +22,19 @@ from depthg_tpu.parallel import mesh as mesh_lib
 from depthg_tpu.utils.checkpoint_io import fcfg_from_run_cfg
 
 
-def embed_dataset(dataset, fcfg, params, batch_size, num_workers, precision=None):
+def embed_dataset(dataset, fcfg, params, batch_size, num_workers, precision=None,
+                  feats_fn=None):
+    """``feats_fn`` (non-ViT backbones, reference src/precompute_knns.py:60-64)
+    maps (params, img) -> dense feature map; pooling/normalization is shared."""
     import jax
     import jax.numpy as jnp
 
+    from depthg_tpu.ops.correlation import norm
+
     @jax.jit
     def embed(img):
+        if feats_fn is not None:
+            return norm(feats_fn(params, img).mean(axis=(2, 3)), axis=1)
         return knn_lib.pooled_features(params, img, fcfg, precision)
 
     feats = []
@@ -63,19 +70,40 @@ def main(argv=None):
     res = int(cfg.get("knn_res", cfg.res))
     batch_size = 128 if cfg.model_type == "vit_small" else 64
 
-    fcfg = fcfg_from_run_cfg(cfg)
     import jax
 
-    from depthg_tpu.models.featurizer import featurizer_init
-    from depthg_tpu.utils.ckpt import load_dino_pth
+    from depthg_tpu.models import pyramid as pyramid_lib
 
-    if cfg.get("pretrained_weights"):
-        params = {"vit": load_dino_pth(cfg.pretrained_weights)}
-        params = __import__("depthg_tpu.utils.ckpt", fromlist=["to_jax"]).to_jax(params)
+    fcfg = feats_fn = None
+    if cfg.model_type in pyramid_lib._MODEL_FILES:
+        # non-ViT backbones go through load_model, mirroring the reference's
+        # cut_model path (src/precompute_knns.py:60-64)
+        try:
+            params, feats_fn, _ = pyramid_lib.load_model(
+                cfg.model_type, join(cfg.output_root, "data"))
+        except FileNotFoundError as e:
+            print(f"WARNING: {e}; using random backbone weights — neighbor "
+                  "quality will be meaningless.")
+            feats_fn = {"vgg11": pyramid_lib.vgg11_features,
+                        "densenet121": pyramid_lib.densenet121_features}.get(
+                cfg.model_type, pyramid_lib.resnet50_last_features)
+            init = {"vgg11": pyramid_lib.vgg11_init,
+                    "densenet121": pyramid_lib.densenet121_init}.get(
+                cfg.model_type, pyramid_lib.resnet50_init)
+            params = init(jax.random.PRNGKey(0))
     else:
-        print("WARNING: no pretrained_weights given (zero-egress environment); "
-              "using random backbone weights — neighbor quality will be meaningless.")
-        params = {"vit": featurizer_init(jax.random.PRNGKey(0), fcfg)["vit"]}
+        from depthg_tpu.models.featurizer import featurizer_init
+        from depthg_tpu.utils.ckpt import load_dino_pth
+
+        fcfg = fcfg_from_run_cfg(cfg)
+        if cfg.get("pretrained_weights"):
+            params = {"vit": load_dino_pth(cfg.pretrained_weights)}
+            params = __import__("depthg_tpu.utils.ckpt", fromlist=["to_jax"]).to_jax(params)
+        else:
+            print("WARNING: no pretrained_weights given (zero-egress environment); "
+                  "using random backbone weights — neighbor quality will be "
+                  "meaningless.")
+            params = {"vit": featurizer_init(jax.random.PRNGKey(0), fcfg)["vit"]}
 
     mesh = mesh_lib.make_mesh(cfg.get("n_devices"))
 
@@ -100,7 +128,8 @@ def main(argv=None):
                     print(f"  skipping (data not present): {e}")
                     continue
                 feats = embed_dataset(dataset, fcfg, params, batch_size,
-                                      cfg.num_workers, cfg.get("matmul_precision"))
+                                      cfg.num_workers, cfg.get("matmul_precision"),
+                                      feats_fn=feats_fn)
                 nns = knn_lib.topk_neighbors(feats, k=30,
                                              mesh=mesh if mesh.devices.size > 1 else None)
                 np.savez_compressed(cache, nns=nns)

@@ -61,11 +61,32 @@ def build_datasets(cfg):
 
 
 def load_backbone(cfg, fcfg):
-    """Frozen ViT weights: DINO .pth / Lightning .ckpt path, or random+warn."""
+    """Frozen backbone weights. arch=dino[_depth]: DINO .pth / Lightning
+    .ckpt path; arch=feature-pyramid: load_model weights from
+    ``{output_root}/data`` (reference src/train_segmentation.py:100). Falls
+    back to random init with a warning (zero egress: no hub downloads)."""
     import jax
 
     from depthg_tpu.models.featurizer import featurizer_init
     from depthg_tpu.utils import ckpt as torch_ckpt
+
+    cpu = jax.devices("cpu")[0]
+    if cfg.arch == "feature-pyramid":
+        from depthg_tpu.models.pyramid import load_model, resnet50_init
+
+        try:
+            params, _, n_feats = load_model(cfg.model_type, join(cfg.output_root, "data"))
+            if n_feats != 2048:
+                raise ValueError(
+                    f"arch=feature-pyramid needs a resnet50-family model_type "
+                    f"(FeaturePyramidNet channel layout, src/modules.py:703); "
+                    f"got {cfg.model_type}")
+            return params
+        except FileNotFoundError as e:
+            print(f"WARNING: {e}; the backbone is randomly initialized.")
+            with jax.default_device(cpu):
+                return jax.tree_util.tree_map(
+                    np.asarray, resnet50_init(jax.random.PRNGKey(0)))
 
     path = cfg.get("pretrained_weights")
     if path and os.path.exists(path):
@@ -77,7 +98,6 @@ def load_backbone(cfg, fcfg):
           "download DINO weights from torch hub; this environment has no "
           "egress, so the backbone is randomly initialized. Pass "
           "pretrained_weights=/path/to/dino.pth for real runs.")
-    cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         return jax.tree_util.tree_map(
             np.asarray, featurizer_init(jax.random.PRNGKey(0), fcfg)["vit"])
@@ -100,8 +120,8 @@ def main(argv=None):
     from depthg_tpu.train import step as step_lib
     from depthg_tpu.utils.ckpt import to_jax
 
-    if cfg.arch not in ("dino", "dino_depth"):
-        raise NotImplementedError(f"arch={cfg.arch} (feature-pyramid: see models.pyramid)")
+    if cfg.arch not in ("dino", "dino_depth", "feature-pyramid"):
+        raise NotImplementedError(f"arch={cfg.arch}")
 
     seed = int(cfg.get("seed", 0))
     np.random.seed(seed)

@@ -151,3 +151,43 @@ def test_observability_and_retention(coco_root, tmp_path):
     assert "intra_cd" in acc.Tags()["histograms"]
     steps = [s.step for s in acc.Scalars("loss/total")]
     assert len(steps) >= 1
+
+
+def test_feature_pyramid_cli(coco_root, tmp_path):
+    """arch=feature-pyramid trains through the train CLI (reference
+    src/train_segmentation.py:99-101) and evals through the eval CLI."""
+    train_segmentation = _load_script("train_segmentation")
+    eval_segmentation = _load_script("eval_segmentation")
+
+    out_root = str(tmp_path / "outputs_pyr")
+    args = COMMON + [f"data_dir={coco_root}", f"output_root={out_root}"]
+    if not os.path.isdir(join(coco_root, "cropped", "cocostuff27_five_crop_0.5")):
+        _load_script("crop_datasets").main(args + [
+            "crop_datasets=[cocostuff27]", "crop_image_sets=[train]",
+            "generate_depth=True"])
+    # KNNs under the pyramid's backbone name (reference precompute_knns
+    # embeds non-ViT model_types through load_model)
+    _load_script("precompute_knns").main(args + [
+        "model_type=resnet50", "knn_datasets=[cocostuff27]",
+        "knn_crop_types=[five]", "knn_image_sets=[train]"])
+    assert os.path.exists(join(coco_root, "nns",
+                               "nns_resnet50_cocostuff27_train_five_32.npz"))
+    train_segmentation.main(args + [
+        "arch=feature-pyramid", "model_type=resnet50", "granularity=2",
+        "max_steps=2", "val_freq=2", "scalar_log_freq=1", "use_depth=True",
+        "depth_sampling=fps", "depth_feat_correlation_loss=True",
+        "experiment_name=pyr", "wandb_logging=False"])
+    run_dir = join(out_root, "checkpoints",
+                   os.listdir(join(out_root, "checkpoints"))[0])
+    assert "last" in os.listdir(run_dir)
+    # no Lightning export for non-dino archs (reference ckpt layout is
+    # DinoFeaturizer-specific)
+    assert "last.ckpt" not in os.listdir(run_dir)
+
+    eval_segmentation.main(args + [
+        f"model_paths=[{join(run_dir, 'last')}]", "run_crf=True",
+        "crf_downsample=2", "run_prediction=False", "res=32",
+        "experiment_name=pyr_eval"])
+    metrics = json.load(open(join(out_root, "eval_metrics.json")))
+    vals = list(metrics.values())[0]
+    assert np.isfinite(vals["final/cluster/mIoU"])

@@ -83,3 +83,30 @@ def test_depth_only_intra_variant():
     state, logs = _run_steps(fcfg, hp, lcfg)
     assert np.isfinite(float(logs["loss/total"]))
     assert "loss/depth_feat" not in logs
+
+
+def test_feature_pyramid_arch_trains():
+    """arch="feature-pyramid" (reference src/train_segmentation.py:99-101)
+    trains through the same step: frozen ResNet in `frozen`, pyramid head +
+    probes optimized, DoubleConv BN running stats updated."""
+    from depthg_tpu.models.pyramid import PyramidConfig
+
+    fcfg = PyramidConfig(granularity=2, dim=16, out_size=16)
+    hp = step_lib.TrainHParams(n_classes=3)
+    state0 = step_lib.init_state(jax.random.PRNGKey(0), fcfg, hp)
+    assert "vit" in state0["frozen"]  # generic frozen-backbone slot = ResNet
+    assert "conv2" in state0["params"]["net"]
+
+    state, logs = _run_steps(fcfg, hp, LCFG)
+    assert np.isfinite(float(logs["loss/total"]))
+    # head convs moved; BN running stats folded in (train-mode forwards)
+    w0 = np.asarray(state0["params"]["net"]["cluster1"]["w"])
+    w1 = np.asarray(state["params"]["net"]["cluster1"]["w"])
+    assert np.abs(w1 - w0).max() > 0
+    bn = state["params"]["net"]["conv2"]["bn1"]
+    assert float(np.abs(np.asarray(bn["mean"])).max()) > 0  # init was zeros
+    # frozen ResNet untouched
+    a = jax.tree_util.tree_leaves(state0["frozen"]["vit"])
+    b = jax.tree_util.tree_leaves(state["frozen"]["vit"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
