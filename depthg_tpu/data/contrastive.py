@@ -84,6 +84,12 @@ class ContrastiveSegDataset:
         self.num_neighbors = num_neighbors
         self.image_set = image_set
         self.dataset_name = dataset_name
+        if cfg is not None and cfg.get("image_cache_mb") is not None:
+            # decoded-image LRU budget (datasets.IMAGE_CACHE); single-core
+            # hosts re-decode every epoch without it
+            from depthg_tpu.data.datasets import IMAGE_CACHE
+
+            IMAGE_CACHE.configure(int(cfg.get("image_cache_mb")))
         self.mask = mask
         self.pos_labels = pos_labels
         self.pos_images = pos_images

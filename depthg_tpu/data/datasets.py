@@ -35,6 +35,62 @@ from depthg_tpu.data import transforms as T
 ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 
+class _DecodedImageCache:
+    """Bounded LRU of decoded PIL images, keyed by (path, convert-mode).
+
+    Training revisits every image thousands of times and this host decodes
+    on a single core — caching the DECODED image (pre-transform, so crop/aug
+    randomness is untouched) removes the repeated JPEG cost. Thread-safe for
+    the loader pool; entries are fully loaded (immutable pixel buffers), so
+    concurrent readers are fine. Sized in MB via ``configure`` (cfg key
+    ``image_cache_mb``; 0 disables)."""
+
+    def __init__(self, budget_mb: int = 512):
+        import threading
+        from collections import OrderedDict
+
+        self._lock = threading.Lock()
+        self._data: "OrderedDict" = OrderedDict()
+        self._size = 0
+        self._budget = budget_mb * 2 ** 20
+
+    def configure(self, budget_mb: int) -> None:
+        with self._lock:
+            self._budget = int(budget_mb) * 2 ** 20
+            self._evict()
+
+    def _evict(self) -> None:
+        while self._size > self._budget and self._data:
+            _, (img, nbytes) = self._data.popitem(last=False)
+            self._size -= nbytes
+
+    def open(self, path: str, convert: str | None = None):
+        key = (path, convert)
+        with self._lock:
+            hit = self._data.get(key)
+            if hit is not None:
+                self._data.move_to_end(key)
+                return hit[0]
+        img = Image.open(path)
+        img = img.convert(convert) if convert else img
+        img.load()
+        nbytes = img.width * img.height * len(img.getbands())
+        with self._lock:
+            if 0 < nbytes <= self._budget and key not in self._data:
+                self._data[key] = (img, nbytes)
+                self._size += nbytes
+                self._evict()
+        return img
+
+
+IMAGE_CACHE = _DecodedImageCache()
+
+
+def open_image(path: str, convert: str | None = None):
+    """Image.open + optional convert, through the decoded-image LRU."""
+    return IMAGE_CACHE.open(path, convert)
+
+
 def create_pascal_label_colormap() -> np.ndarray:
     """Standard PASCAL VOC bit-shuffle colormap (512 entries)."""
     colormap = np.zeros((512, 3), dtype=int)
@@ -96,7 +152,7 @@ def _minmax(arr: np.ndarray) -> np.ndarray:
 
 def _open_depth_01(path: str) -> np.ndarray:
     """Depth PNG -> float32 [1, H, W] scaled like torchvision to_tensor."""
-    return T.image_to_array(Image.open(path))[:1]
+    return T.image_to_array(open_image(path))[:1]
 
 
 class _Base:
@@ -151,9 +207,9 @@ class DirectoryDataset(_Base):
         self.filepaths = [join(self.img_dir, f) for f in self.img_files]
 
     def __getitem__(self, index, rng=None):
-        img_pil = Image.open(join(self.img_dir, self.img_files[index]))
+        img_pil = open_image(join(self.img_dir, self.img_files[index]))
         if self.label_files is not None:
-            label_pil = Image.open(join(self.label_dir, self.label_files[index]))
+            label_pil = open_image(join(self.label_dir, self.label_files[index]))
         else:
             label_pil = None
         if label_pil is not None:
@@ -202,7 +258,7 @@ class Potsdam(_Base):
                 d = _open_depth_01(join(self.root, "zoe_depth", self.split, "imgs",
                                         image_id + "_zoedepth.png"))
             elif self.depth_type == "kbr":
-                arr = T.image_to_array(Image.open(
+                arr = T.image_to_array(open_image(
                     join(self.root, "kbr_depth", self.split, image_id + ".png")))
                 assert arr.shape[0] == 3, "KBR depth map should have 3 channels"
                 d = _minmax(arr.mean(0, keepdims=True))
@@ -322,15 +378,15 @@ class Coco(_Base):
         self.first_stuff_index = 12
 
     def __getitem__(self, index, rng=None):
-        img_pil = Image.open(self.image_files[index]).convert("RGB")
-        label_pil = Image.open(self.label_files[index])
+        img_pil = open_image(self.image_files[index], "RGB")
+        label_pil = open_image(self.label_files[index])
         img, label, _ = self._apply_pair(rng, img_pil, label_pil)
 
         depth = None
         if self.return_depth:
             # reference quirk: Coco depth is NOT spatially transformed
             # (``src/data.py:391-420``); only kbr gets channel-mean + minmax
-            depth = T.image_to_array(Image.open(self.depth_files[index]))
+            depth = T.image_to_array(open_image(self.depth_files[index]))
             if self.depth_type == "kbr":
                 depth = _minmax(depth.mean(0, keepdims=True))
             else:
@@ -385,8 +441,8 @@ class CityscapesSeg(_Base):
         self.depth_folder_path = join(root, "cityscapes", "depth", image_set)
 
     def __getitem__(self, index, rng=None):
-        img_pil = Image.open(self.images[index]).convert("RGB")
-        label_pil = Image.open(self.targets[index])
+        img_pil = open_image(self.images[index], "RGB")
+        label_pil = open_image(self.targets[index])
         img, label, _ = self._apply_pair(rng, img_pil, label_pil)
 
         depth = None
@@ -429,19 +485,19 @@ class NYUv2(_Base):
 
     def __getitem__(self, index, rng=None):
         fn = self._files[index]
-        img_pil = Image.open(os.path.join(self._folder("rgb"), fn))
-        label_pil = Image.open(os.path.join(self._folder("seg13"), fn))
+        img_pil = open_image(os.path.join(self._folder("rgb"), fn))
+        label_pil = open_image(os.path.join(self._folder("seg13"), fn))
         img, label, _ = self._apply_pair(rng, img_pil, label_pil)
 
         out = {"img": img, "label": label, "mask": np.zeros_like(label, np.float32)}
         if self.return_depth:
             if self.depth_type == "gt":
-                raw = np.asarray(Image.open(os.path.join(self._folder("depth"), fn)))
+                raw = np.asarray(open_image(os.path.join(self._folder("depth"), fn)))
             elif self.depth_type == "zoedepth":
-                raw = np.asarray(Image.open(os.path.join(
+                raw = np.asarray(open_image(os.path.join(
                     self._folder("zoedepth_depth"), fn.replace(".png", "_zoedepth.png"))))
             elif self.depth_type in ("kbr", "midas"):
-                raw = np.asarray(Image.open(os.path.join(self._folder(f"{self.depth_type}_depth"), fn)))
+                raw = np.asarray(open_image(os.path.join(self._folder(f"{self.depth_type}_depth"), fn)))
             else:
                 raise NotImplementedError(self.depth_type)
             # uint16 depth scaled /1e4 then min-max normalized (src/data.py:621-627)
@@ -492,14 +548,14 @@ class PascalVOC(_Base):
                 raise NotImplementedError(depth_type)
 
     def __getitem__(self, index, rng=None):
-        img_pil = Image.open(self.images[index]).convert("RGB")
-        label_pil = Image.open(self.masks[index])
+        img_pil = open_image(self.images[index], "RGB")
+        label_pil = open_image(self.masks[index])
         img, label, _ = self._apply_pair(rng, img_pil, label_pil)
         label = label.copy()
         label[label > 20] = -1
         out = {"img": img, "label": label, "mask": label == -1}
         if self.return_depth:
-            raw = np.asarray(Image.open(self.depth[index]))
+            raw = np.asarray(open_image(self.depth[index]))
             d = raw.astype(np.float32)
             if raw.dtype == np.uint16:
                 d = d / 65535.0
@@ -548,9 +604,9 @@ class CroppedDataset(_Base):
         self.filepaths = [join(self.img_dir, f"{i}.jpg") for i in range(self.num_images)]
 
     def __getitem__(self, index, rng=None):
-        img_pil = Image.open(join(self.img_dir, f"{index}.jpg")).convert("RGB")
+        img_pil = open_image(join(self.img_dir, f"{index}.jpg"), "RGB")
         if self.return_label:
-            label_pil = Image.open(join(self.label_dir, f"{index}.png"))
+            label_pil = open_image(join(self.label_dir, f"{index}.png"))
         else:
             label_pil = Image.fromarray(
                 np.random.randint(0, 255, size=img_pil.size[::-1], dtype=np.uint8))
@@ -563,7 +619,7 @@ class CroppedDataset(_Base):
         out = {"img": img}
         depth = None
         if self.return_depth:
-            dpil = Image.open(join(self.depth_dir, f"{index}_{self.depth_type}.png"))
+            dpil = open_image(join(self.depth_dir, f"{index}_{self.depth_type}.png"))
             # depth via the *label* transform: values stay 0..255 (see module doc)
             depth = self.target_transform.apply(dpil, params).astype(np.float32)[None]
             if self.plane_depth:

@@ -98,6 +98,14 @@ def pack_batch(batch: dict, keys) -> tuple:
             parts_u.append(u8)
             off_u += u8.size
             continue
+        if np.issubdtype(v.dtype, np.integer) and v.size and (
+                np.abs(v, dtype=np.int64).max() >= 2 ** 24):
+            # the fallback buffer is f32, exact only for |v| < 2^24 — large
+            # indices (e.g. KNN ids of >16.7M-row datasets) would silently
+            # corrupt; such keys need their own transfer, not the pack
+            raise ValueError(
+                f"pack_batch: integer key '{k}' has values >= 2^24 that do "
+                "not survive the f32 buffer; transfer it separately")
         arr = np.ascontiguousarray(v, np.float32).ravel()
         # jax runs x64-disabled: integer labels come back int32 (all label
         # spaces here are tiny); floats keep f32
@@ -140,6 +148,21 @@ def unpack_batch(bufs, spec):
     return out
 
 
+def _put_or_stop(q, item, stop, timeout: float = 0.2) -> bool:
+    """put() that never deadlocks a daemon producer: when the consumer has
+    gone away (generator closed) the bounded queue stays full — poll with a
+    timeout and bail once ``stop`` is set instead of blocking forever."""
+    import queue as _queue
+
+    while True:
+        try:
+            q.put(item, timeout=timeout)
+            return True
+        except _queue.Full:
+            if stop.is_set():
+                return False
+
+
 def device_prefetch(iterator, place_fn, depth: int = 2):
     """Double-buffer host->HBM: keep ``depth`` batches placed on device ahead
     of the consumer, so the transfer of batch k+1 runs while step k computes
@@ -162,11 +185,12 @@ def device_prefetch(iterator, place_fn, depth: int = 2):
             for batch in iterator:
                 if stop.is_set():
                     return
-                q.put(place_fn(batch))
-            q.put(None)
-        except BaseException as e:  # forward to the consumer — a swallowed
-            q.put(e)                # staging error must not look like a
-                                    # clean end-of-epoch
+                if not _put_or_stop(q, place_fn(batch), stop):
+                    return
+            _put_or_stop(q, None, stop)
+        except BaseException as e:      # forward to the consumer — a swallowed
+            _put_or_stop(q, e, stop)    # staging error must not look like a
+                                        # clean end-of-epoch
     t = _threading.Thread(target=stage, daemon=True)
     t.start()
     try:
@@ -245,10 +269,11 @@ class DataLoader:
                             break
                         items = list(pool.map(lambda i: self._fetch(epoch, i),
                                               batch_idx))
-                        out_q.put(self.collate_fn(items))
-                out_q.put(None)
+                        if not _put_or_stop(out_q, self.collate_fn(items), stop):
+                            return
+                _put_or_stop(out_q, None, stop)
             except BaseException as e:  # forward: a dead producer must not
-                out_q.put(e)            # leave the consumer blocked forever
+                _put_or_stop(out_q, e, stop)  # leave the consumer blocked
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

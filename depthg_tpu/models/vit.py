@@ -122,6 +122,16 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, npatch: int, w: int, h: int
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 
+def _flash_seq_ok(n: int) -> bool:
+    """Whether ``_flash_mha``'s blocking scheme fits VMEM at this sequence
+    length. The kernel keeps the whole KV resident (block_k = seq), so the
+    [block_q, seq] f32 logits tile needs block_q >= 128 within the ~11.5 MB
+    budget — beyond ~22k tokens that fails and the caller must take the XLA
+    path (ViT grids here are <=1601 tokens; this is a guard, not a path)."""
+    npad = -(-n // 128) * 128
+    return npad * 4 * 128 <= 11.5e6
+
+
 def _flash_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                n_valid: int | None = None) -> jnp.ndarray:
     """Fused flash attention (Pallas TPU kernel): the [N, N] softmax matrix
@@ -168,7 +178,7 @@ def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla",
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, h, N, hd]
     q, k, v = qkv[0], qkv[1], qkv[2]
     scale = hd ** -0.5
-    if impl == "flash":
+    if impl == "flash" and _flash_seq_ok(n):
         out = _flash_mha(q, k, v, scale, n_valid)
         attn = None  # flash never materializes the attention matrix
     else:

@@ -64,6 +64,24 @@ class CRFConfig:
     # "bfloat16" halves the traffic. The unary stays f32 and each iteration
     # re-softmaxes from it, so bf16 rounding doesn't accumulate.
     dtype: str = "float32"
+    # joint-bilateral splat/slice (mixed mode only). 0 = off: the coarse
+    # grid carries ds x ds AVERAGED colors, so boundary cells hold mixed
+    # colors and the appearance kernel blurs exactly where it matters.
+    # P >= 1: the coarse point set is P strided phase grids of PURE pixel
+    # colors; each full-res pixel splats into its cell in every phase
+    # weighted by color similarity (slice = splat^T, so the effective
+    # bilateral operator S^T K S stays symmetric PSD and is normalized by
+    # its true full-res degree). Color mismatch attenuates a pixel's
+    # message instead of corrupting it — measured on the fidelity scenes
+    # (docs/CRF_FIDELITY.md): ds=4 retains 67% of the lattice's mIoU gain
+    # with averaged colors vs 93% with splat_phases=2 at ~1/4 the kernel
+    # cost of ds=2.
+    splat_phases: int = 0
+    # widen the splat/slice color Gaussian by this factor: the pixel->cell->
+    # cell->pixel composition multiplies three color Gaussians, so unit-sigma
+    # splats over-narrow the effective kernel; ~1.4 compensates (measured
+    # +0.1-0.3 mIoU on the fidelity scenes, zero runtime cost)
+    splat_sigma_factor: float = 1.0
     # materialize the [N, N] bilateral kernel once (exp is the dominant
     # cost — VPU transcendental-bound) and run the 10 mean-field messages
     # as pure MXU matmuls against it, when the per-image kernel fits this
@@ -73,6 +91,29 @@ class CRFConfig:
     # — sequential per-image peak, not batched). downsample=1 (42 GB)
     # streams tiles as before. 0 disables caching entirely.
     kernel_cache_mb: int = 2700
+
+
+def crf_config_from_cfg(cfg) -> CRFConfig:
+    """CRF operating point from run-config keys. Defaults = the quality/speed
+    point validated in docs/CRF_FIDELITY.md (downsample=8 with 4-phase
+    joint-bilateral splat/slice, widened splat sigma, bf16 state — retains
+    ~90% of the permutohedral lattice's mIoU gain at ~6 ms/img in-batch):
+    the eval CLI default AND the bench.py headline — one operating point,
+    one story. The quality+ point (94% of the gain, ~2x slower):
+    ``crf_downsample=4`` (its per-downsample defaults follow the table).
+
+    Phase/sigma defaults track the chosen downsample so an explicit
+    ``crf_downsample=2`` keeps its classic (phase-free) cost instead of
+    silently quadrupling its point set."""
+    ds = int(cfg.get("crf_downsample", 8))
+    return CRFConfig(
+        downsample=ds,
+        splat_phases=int(cfg.get("crf_splat_phases", {8: 4, 4: 2}.get(ds, 0))),
+        splat_sigma_factor=float(cfg.get("crf_splat_sigma",
+                                         {8: 1.8, 4: 1.41}.get(ds, 1.0))),
+        dtype=str(cfg.get("crf_dtype", "bfloat16")),
+        mixed_resolution=bool(cfg.get("crf_mixed_resolution", True)),
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -214,6 +255,75 @@ def _bilateral_kernel(feats: jnp.ndarray, block: int, dtype) -> jnp.ndarray:
     return kmat.reshape(nb * block, nb * block)[:n, :n]
 
 
+def _phase_offsets(p: int, ds: int) -> list:
+    """Representative-pixel offsets of the P splat phase grids in a ds x ds
+    cell: diagonal for P=2, quincunx for P=4."""
+    if p <= 0 or ds <= 1:
+        return []
+    a, b, c = ds // 4, (3 * ds) // 4, ds // 2
+    if p == 1:
+        return [(c, c)]
+    if p == 2:
+        return [(a, a), (b, b)]
+    if p == 4:
+        return [(a, a), (a, b), (b, a), (b, b)]
+    raise ValueError(f"splat_phases must be 0, 1, 2 or 4; got {p}")
+
+
+def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
+    """Joint-bilateral splat/slice operator A = S^T K S (see CRFConfig.
+    splat_phases). Returns (apply_A, deg) with apply_A: [C, H, W] -> [C, H, W]
+    (raw, unnormalized message) and deg = A @ 1 at FULL resolution."""
+    h, w = image.shape[-2:]
+    hd, wd = h // ds, w // ds
+    nc = hd * wd
+    rgb_full = image.astype(jnp.float32) / ccfg.bi_rgb_std
+
+    feats_list, wgt_list = [], []
+    for oy, ox in phases:
+        img_p = image[:, oy::ds, ox::ds].astype(jnp.float32)
+        ys = (jnp.arange(hd, dtype=jnp.float32) * ds + oy) / ccfg.bi_xy_std
+        xs = (jnp.arange(wd, dtype=jnp.float32) * ds + ox) / ccfg.bi_xy_std
+        yy = jnp.broadcast_to(ys[:, None], (hd, wd))
+        xx = jnp.broadcast_to(xs[None, :], (hd, wd))
+        f = jnp.concatenate([xx[None], yy[None], img_p / ccfg.bi_rgb_std], axis=0)
+        feats_list.append(f.reshape(5, -1).T)
+        cell_up = jnp.repeat(jnp.repeat(img_p / ccfg.bi_rgb_std, ds, -2), ds, -1)
+        wgt_list.append(jnp.exp(-0.5 * jnp.sum((rgb_full - cell_up) ** 2, axis=0)
+                                / ccfg.splat_sigma_factor ** 2))
+
+    bf = jnp.concatenate(feats_list, axis=0)  # [P * nc, 5]
+    n_pts = len(phases) * nc
+    cache = _kernel_cache_bytes(n_pts, ccfg) is not None
+    kmat = _bilateral_kernel(bf, ccfg.block, dt) if cache else None
+
+    def sum_pool(x):
+        return x.reshape(x.shape[0], hd, ds, wd, ds).sum((2, 4))
+
+    def unpool(x):
+        return jnp.repeat(jnp.repeat(x, ds, -2), ds, -1)
+
+    def apply_a(q):
+        # dtype-following: the per-iteration messages run in the mean-field
+        # state dtype (bf16 halves the dominant full-res HBM traffic of the
+        # splat/slice passes); the one-time degree call passes f32 ones
+        c = q.shape[0]
+        zs = [sum_pool(q * wg[None].astype(q.dtype)).reshape(c, -1)
+              for wg in wgt_list]
+        z = jnp.concatenate(zs, axis=1).astype(dt).T  # [P*nc, C]
+        mc = (kmat @ z if cache
+              else _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas))
+        mc = mc.T.astype(q.dtype)  # [C, P*nc]
+        out = jnp.zeros((c, h, w), q.dtype)
+        for i, wg in enumerate(wgt_list):
+            out = out + unpool(mc[:, i * nc:(i + 1) * nc].reshape(c, hd, wd)) \
+                * wg[None].astype(q.dtype)
+        return out
+
+    deg = apply_a(jnp.ones((1, h, w), jnp.float32))[0]
+    return apply_a, deg
+
+
 def _bilateral_features(image: jnp.ndarray, ccfg: CRFConfig, ds: int) -> jnp.ndarray:
     """[N, 5] features (x, y, r, g, b) scaled by their stds; image: [3, H, W] 0..255."""
     h, w = image.shape[-2:]
@@ -249,30 +359,38 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
     ds = ccfg.downsample
     mixed = ccfg.mixed_resolution and ds > 1
     hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
-    if ds > 1:
-        image_d = resize_bilinear(image[None].astype(jnp.float32), (hd, wd))[0]
-    else:
-        image_d = image.astype(jnp.float32)
-
-    # bilateral (appearance) kernel state at the coarse working resolution
-    bf = _bilateral_features(image_d, ccfg, ds)
     dt = jnp.bfloat16 if ccfg.dtype == "bfloat16" else jnp.float32
-    n_coarse = hd * wd
-    cache_kernel = _kernel_cache_bytes(n_coarse, ccfg) is not None
-    if cache_kernel:
-        kmat = _bilateral_kernel(bf, ccfg.block, dt)
-        deg_bi = (kmat @ jnp.ones((n_coarse, 1), dt))[:, 0].astype(jnp.float32)
-    else:
-        ones = jnp.ones((n_coarse, 1), jnp.float32)
-        deg_bi = _bilateral_message(bf, ones, ccfg.block, ccfg.use_pallas)[:, 0]
-    inv_sqrt_deg_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
 
-    def bilateral(q_coarse):
-        c = q_coarse.shape[0]
-        z = (q_coarse.reshape(c, -1) * inv_sqrt_deg_bi[None].astype(dt)).T  # [Nc, C]
-        mb = (kmat @ z).T if cache_kernel else \
-            _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas).T
-        return (mb * inv_sqrt_deg_bi[None].astype(dt)).reshape(c, hd, wd)
+    phases = _phase_offsets(ccfg.splat_phases, ds) if mixed else []
+    if phases:
+        # joint-bilateral splat/slice: pure-color phase grids, color-weighted
+        # transfer operator, full-resolution degree (CRFConfig.splat_phases)
+        jbu_apply, deg_full = _jbu_operator(image, ccfg, ds, dt, phases)
+        inv_sqrt_deg_jbu = jax.lax.rsqrt(jnp.maximum(deg_full, 1e-20))[None]
+    else:
+        if ds > 1:
+            image_d = resize_bilinear(image[None].astype(jnp.float32), (hd, wd))[0]
+        else:
+            image_d = image.astype(jnp.float32)
+
+        # bilateral (appearance) kernel state at the coarse working resolution
+        bf = _bilateral_features(image_d, ccfg, ds)
+        n_coarse = hd * wd
+        cache_kernel = _kernel_cache_bytes(n_coarse, ccfg) is not None
+        if cache_kernel:
+            kmat = _bilateral_kernel(bf, ccfg.block, dt)
+            deg_bi = (kmat @ jnp.ones((n_coarse, 1), dt))[:, 0].astype(jnp.float32)
+        else:
+            ones = jnp.ones((n_coarse, 1), jnp.float32)
+            deg_bi = _bilateral_message(bf, ones, ccfg.block, ccfg.use_pallas)[:, 0]
+        inv_sqrt_deg_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
+
+        def bilateral(q_coarse):
+            c = q_coarse.shape[0]
+            z = (q_coarse.reshape(c, -1) * inv_sqrt_deg_bi[None].astype(dt)).T  # [Nc, C]
+            mb = (kmat @ z).T if cache_kernel else \
+                _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas).T
+            return (mb * inv_sqrt_deg_bi[None].astype(dt)).reshape(c, hd, wd)
 
     def blockwise_softmax(x):
         """Softmax per logit set along the stacked channel axis (f32 math —
@@ -293,11 +411,17 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
 
         def mf_iter(_, q):
             mg = _gaussian_filter(q * isd, gauss_sigma) * isd
-            # fast (native-dtype, default-precision) resizes: q lives in
-            # [0, 1] and each iteration re-softmaxes from the f32 unary, so
-            # per-iteration rounding cannot accumulate (docs/CRF_FIDELITY.md)
-            q_coarse = resize_bilinear(q[None], (hd, wd), fast=True)[0]
-            mb = resize_bilinear(bilateral(q_coarse)[None], (h, w), fast=True)[0]
+            if phases:
+                isd_j = inv_sqrt_deg_jbu.astype(q.dtype)
+                mb = jbu_apply(q * isd_j) * isd_j
+            else:
+                # fast (native-dtype, default-precision) resizes: q lives in
+                # [0, 1] and each iteration re-softmaxes from the f32 unary,
+                # so per-iteration rounding cannot accumulate
+                # (docs/CRF_FIDELITY.md)
+                q_coarse = resize_bilinear(q[None], (hd, wd), fast=True)[0]
+                mb = resize_bilinear(bilateral(q_coarse)[None], (h, w),
+                                     fast=True)[0]
             return blockwise_softmax(log_unary + ccfg.pos_w * mg.astype(jnp.float32)
                                      + ccfg.bi_w * mb.astype(jnp.float32))
 
@@ -363,7 +487,10 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
     ds = ccfg.downsample
     h, w = images.shape[-2:]
     hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
-    per_img = _kernel_cache_bytes(hd * wd, ccfg)
+    n_pts = hd * wd
+    if ccfg.mixed_resolution and ds > 1 and ccfg.splat_phases > 0:
+        n_pts *= ccfg.splat_phases  # JBU point set = P phase grids
+    per_img = _kernel_cache_bytes(n_pts, ccfg)
     if per_img is not None:
         if n_shards <= 1:
             # one image at a time is FASTEST on one device whenever the
@@ -376,7 +503,7 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
             fn = make_fn(ccfg)
             return jax.lax.map(lambda args: fn(*args),
                                (images, *batched_args))
-        per_dev = (max(1, b // n_shards)) * per_img
+        per_dev = -(-b // n_shards) * per_img  # ceil: uneven shards hold more
         if per_dev > _VMAP_KERNEL_BUDGET_BYTES:
             # sharded + kernels too big per device: a lax.map here would
             # serialize the mesh (a scan's leading axis cannot stay

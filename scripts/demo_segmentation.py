@@ -20,7 +20,7 @@ from PIL import Image
 from depthg_tpu.config import cli_overrides, load_config
 from depthg_tpu.data import get_transform
 from depthg_tpu.inference import EvalConfig, make_predict_step
-from depthg_tpu.ops.crf import CRFConfig
+from depthg_tpu.ops.crf import crf_config_from_cfg
 from depthg_tpu.utils.checkpoint_io import fcfg_from_run_cfg, load_segmenter
 
 
@@ -54,7 +54,7 @@ def main(argv=None):
         n_classes=n_classes,
         extra_clusters=dim[0] - n_classes if dim[0] > n_classes else 0,
         run_crf=bool(cfg.run_crf), label_res=int(cfg.res),
-        crf=CRFConfig(downsample=int(cfg.get("crf_downsample", 2))),
+        crf=crf_config_from_cfg(cfg),
         precision=cfg.get("matmul_precision"),
     )
     predict = make_predict_step(fcfg, ecfg)

@@ -25,7 +25,7 @@ from depthg_tpu.config import Config, cli_overrides, load_config
 from depthg_tpu.data import ContrastiveSegDataset, DataLoader, get_transform
 from depthg_tpu.data.datasets import create_cityscapes_colormap, create_pascal_label_colormap
 from depthg_tpu.inference import EvalConfig, make_eval_step, make_predict_step
-from depthg_tpu.ops.crf import CRFConfig
+from depthg_tpu.ops.crf import crf_config_from_cfg
 from depthg_tpu.utils.checkpoint_io import fcfg_from_run_cfg, load_segmenter
 from depthg_tpu.utils.metrics import SegMetrics
 
@@ -59,7 +59,7 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
     ecfg = EvalConfig(
         n_classes=n_classes, extra_clusters=extra_clusters,
         run_crf=bool(cfg.run_crf), label_res=int(cfg.res),
-        crf=CRFConfig(downsample=int(cfg.get("crf_downsample", 2))),
+        crf=crf_config_from_cfg(cfg),
         precision=cfg.get("matmul_precision"),
         backbone_dtype=str(cfg.get("backbone_dtype", "float32")),
     )

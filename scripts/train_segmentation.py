@@ -140,7 +140,10 @@ def main(argv=None):
         try:
             import wandb as _wandb
 
-            _wandb.init(project="depthg-tpu", name=name, config=dict(cfg))
+            # sync_tensorboard mirrors the tfevents stream into wandb like the
+            # reference (src/train_segmentation.py:673)
+            _wandb.init(project="depthg-tpu", name=name, config=dict(cfg),
+                        sync_tensorboard=True)
             wandb = _wandb
         except ImportError:
             print("wandb_logging=True but wandb is not installed; jsonl logs only")
@@ -307,6 +310,14 @@ def main(argv=None):
             for k, v in tb.items():
                 tb_writer.add_scalar(k, v, step_num)
         return tb
+
+    if tb_writer is not None:
+        # on_train_start hyperparameter logging (reference
+        # src/train_segmentation.py:464-469: log_hyperparams(cfg, metrics));
+        # scalar-valued cfg keys land in the tfevents hparams plugin
+        hparams = {k: v for k, v in cfg.items()
+                   if isinstance(v, (bool, int, float, str))}
+        tb_writer.add_hparams(hparams, {monitor: 0.0}, run_name=".")
 
     print(f"training {cfg.dataset_name} for {cfg.max_steps} steps "
           f"(n_classes={n_classes}, mesh={mesh.devices.size} devices)")

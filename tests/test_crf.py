@@ -127,3 +127,69 @@ def test_batch_strategy_sharded_disables_cache_not_map(monkeypatch):
     assert calls["map"] == 1  # unchanged — no lax.map for the sharded case
     np.testing.assert_allclose(out_shard, ref, atol=5e-3)
     assert (out_shard.argmax(1) == ref.argmax(1)).mean() > 0.999
+
+
+def test_jbu_operator_matches_explicit_matrix():
+    """splat_phases: apply_a must equal the explicit S^T K S with S the
+    color-weighted phase-splat matrix and K the phase-grid dense kernel."""
+    from depthg_tpu.ops.crf import CRFConfig, _jbu_operator, _phase_offsets
+
+    rng = np.random.default_rng(5)
+    h = w = 16
+    ds = 4
+    image = rng.uniform(0, 255, (3, h, w)).astype(np.float32)
+    ccfg = CRFConfig(downsample=ds, splat_phases=2, block=8)
+    phases = _phase_offsets(2, ds)
+    apply_a, deg = _jbu_operator(jnp.asarray(image), ccfg, ds, jnp.float32, phases)
+
+    # explicit numpy construction
+    hd, wd = h // ds, w // ds
+    nc = hd * wd
+    n = h * w
+    feats, S = [], np.zeros((len(phases) * nc, n), np.float64)
+    for pi, (oy, ox) in enumerate(phases):
+        img_p = image[:, oy::ds, ox::ds]
+        ys = (np.arange(hd) * ds + oy) / ccfg.bi_xy_std
+        xs = (np.arange(wd) * ds + ox) / ccfg.bi_xy_std
+        f = np.stack([np.broadcast_to(xs[None, :], (hd, wd)),
+                      np.broadcast_to(ys[:, None], (hd, wd)),
+                      *(img_p / ccfg.bi_rgb_std)]).reshape(5, -1).T
+        feats.append(f)
+        for py in range(h):
+            for px in range(w):
+                cell = (py // ds) * wd + (px // ds)
+                drgb = (image[:, py, px] - img_p[:, py // ds, px // ds]) / ccfg.bi_rgb_std
+                S[pi * nc + cell, py * w + px] = np.exp(-0.5 * np.sum(drgb ** 2))
+    feats = np.concatenate(feats)
+    d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * d2)
+    A = S.T @ K @ S
+
+    q = rng.random((3, h, w)).astype(np.float32)
+    got = np.asarray(apply_a(jnp.asarray(q)))
+    want = (A @ q.reshape(3, -1).T).T.reshape(3, h, w)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(deg), (A @ np.ones(n)).reshape(h, w),
+                               rtol=2e-3, atol=1e-3)
+
+
+def test_jbu_crf_end_to_end_and_batch():
+    """splat_phases dense_crf: valid distributions, batched strategies run."""
+    from depthg_tpu.ops.crf import CRFConfig, dense_crf, dense_crf_batch
+
+    rng = np.random.default_rng(6)
+    image = jnp.asarray(rng.uniform(0, 255, (3, 32, 32)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((5, 8, 8)).astype(np.float32))
+    ccfg = CRFConfig(downsample=4, splat_phases=2, block=32, max_iter=3)
+    q = dense_crf(image, logits, ccfg)
+    assert q.shape == (5, 32, 32)
+    np.testing.assert_allclose(np.asarray(q.sum(0)), 1.0, atol=1e-4)
+
+    imgs = jnp.asarray(rng.uniform(0, 255, (3, 3, 32, 32)).astype(np.float32))
+    lgs = jnp.asarray(rng.standard_normal((3, 5, 8, 8)).astype(np.float32))
+    qb = dense_crf_batch(imgs, lgs, ccfg)
+    assert qb.shape == (3, 5, 32, 32)
+    # per-image path must equal the batched path
+    np.testing.assert_allclose(np.asarray(qb[0]),
+                               np.asarray(dense_crf(imgs[0], lgs[0], ccfg)),
+                               atol=1e-5)

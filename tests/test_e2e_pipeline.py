@@ -151,6 +151,9 @@ def test_observability_and_retention(coco_root, tmp_path):
     assert "intra_cd" in acc.Tags()["histograms"]
     steps = [s.step for s in acc.Scalars("loss/total")]
     assert len(steps) >= 1
+    # on_train_start hyperparameter logging (reference 464-469): the hparams
+    # plugin session lands in the same run directory
+    assert acc.PluginTagToContent("hparams"), "no hparams logged to tfevents"
 
 
 def test_feature_pyramid_cli(coco_root, tmp_path):
