@@ -65,8 +65,11 @@ class TrainHParams:
     precision: str | None = None
     # frozen-backbone storage dtype: "bfloat16" halves the dominant cost of
     # the step (the two stop-gradient ViT forwards — measured 21.6 -> 10.8
-    # ms/pass at batch 16 @224 on v5e) at ~1% feature deviation; default
-    # float32 for parity with the reference's f32 training
+    # ms/pass at batch 16 @224 on v5e); training outcomes match f32
+    # (docs/BF16_TRAIN_STUDY.md), so the CONFIG default (train_config.yml /
+    # hparams_from_cfg) is bf16. The dataclass default stays float32 so
+    # parity harnesses and golden tests constructing TrainHParams directly
+    # keep reference numerics.
     backbone_dtype: str = "float32"
     # return raw correlation tensors in logs for TB histograms (hist_freq)
     log_hist: bool = False
@@ -102,7 +105,11 @@ def hparams_from_cfg(cfg, n_classes: int) -> TrainHParams:
         lhp_original_experiment="lhp_original" in str(cfg.get("experiment_name", "")),
         lhp_propagation_strategy=str(cfg.get("propagation_strategy", "depth")),
         precision=cfg.get("matmul_precision"),
-        backbone_dtype=str(cfg.get("backbone_dtype", "float32")),
+        # config-level default is bf16 (docs/BF16_TRAIN_STUDY.md: training
+        # outcomes match f32 at ~1.6x the step rate); the DATACLASS default
+        # stays f32 so parity harnesses constructing TrainHParams directly
+        # keep reference numerics
+        backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
         crf_samples=int(cfg.crf_samples),
         alpha=float(cfg.alpha), beta=float(cfg.beta), gamma=float(cfg.gamma),
         w1=float(cfg.w1), w2=float(cfg.w2), shift=float(cfg.shift),

@@ -142,7 +142,49 @@ def run_one(backbone_dtype, seed, steps, chunk, batch, res, n_train, n_val,
         lin_m.add_stats(ls)
         clu_m.add_stats(cs)
     metrics = {**lin_m.compute(), **clu_m.compute()}
-    return losses, metrics, train_s
+
+    # eval-path dtype arm: SAME trained weights, forward with f32 vs bf16
+    # backbone — quantifies the EVAL deviation (probe-argmax agreement +
+    # metric deltas) that justifies the eval CLI's backbone_dtype default
+    import functools
+
+    from depthg_tpu.models import featurizer as featurizer_lib
+    from depthg_tpu.models import probes
+    from depthg_tpu.ops.resize import resize_bilinear
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def val_preds(params, img, bdt):
+        out = featurizer_lib.dispatch_apply(
+            params["net"], img, fcfg,
+            backbone_dtype=None if bdt == "float32" else bdt)
+        code = resize_bilinear(out["code"].astype(jnp.float32), (res, res))
+        lin = jnp.argmax(probes.linear_probe_apply(params["linear_probe"], code), 1)
+        _, cp = probes.cluster_lookup_apply(params["cluster_probe"], code, None)
+        return lin, jnp.argmax(cp, 1)
+
+    eval_dtype = {}
+    for arm in ("float32", "bfloat16"):
+        lm = SegMetrics("linear/", n_classes, 0, False)
+        cm = SegMetrics("cluster/", n_classes, 0, True)
+        preds_acc = []
+        for i in range(0, n_val, 8):
+            lin, clu = val_preds(eval_params, jnp.asarray(imgs[va][i:i + 8]), arm)
+            from depthg_tpu.utils.metrics import confusion_update
+            lm.add_stats(confusion_update(lin, jnp.asarray(labels[va][i:i + 8]),
+                                          n_classes, 0))
+            cm.add_stats(confusion_update(clu, jnp.asarray(labels[va][i:i + 8]),
+                                          n_classes, hp.extra_clusters))
+            preds_acc.append((np.asarray(lin), np.asarray(clu)))
+        eval_dtype[arm] = {**lm.compute(), **cm.compute()}
+        eval_dtype[f"{arm}_preds"] = preds_acc
+    lin_agree = np.mean([(a[0] == b[0]).mean() for a, b in zip(
+        eval_dtype["float32_preds"], eval_dtype["bfloat16_preds"])])
+    clu_agree = np.mean([(a[1] == b[1]).mean() for a, b in zip(
+        eval_dtype["float32_preds"], eval_dtype["bfloat16_preds"])])
+    eval_dtype["lin_agree"] = float(lin_agree)
+    eval_dtype["clu_agree"] = float(clu_agree)
+    del eval_dtype["float32_preds"], eval_dtype["bfloat16_preds"]
+    return losses, metrics, train_s, eval_dtype
 
 
 def main(argv=None):
@@ -161,9 +203,10 @@ def main(argv=None):
 
     rows = []
     curves = {}
+    eval_rows = []
     for dtype in ("float32", "bfloat16"):
         for seed in range(args.seeds):
-            losses, metrics, train_s = run_one(
+            losses, metrics, train_s, eval_dtype = run_one(
                 dtype, seed, args.steps, args.chunk, args.batch, args.res,
                 args.n_train, args.n_val)
             rows.append({"dtype": dtype, "seed": seed,
@@ -173,6 +216,13 @@ def main(argv=None):
                          "clu_acc": metrics["cluster/Accuracy"],
                          "final_loss": float(losses[-args.chunk:].mean()),
                          "train_s": train_s})
+            eval_rows.append({"dtype": dtype, "seed": seed, **{
+                f"{arm[:3]}_{k.split('/')[0][:3]}_{k.split('/')[1][:4]}":
+                    eval_dtype[arm][k]
+                for arm in ("float32", "bfloat16")
+                for k in ("linear/mIoU", "cluster/mIoU")},
+                "lin_agree": eval_dtype["lin_agree"],
+                "clu_agree": eval_dtype["clu_agree"]})
             curves[(dtype, seed)] = losses.reshape(-1, args.chunk).mean(1)
             print(f"{dtype} seed {seed}: lin mIoU {metrics['linear/mIoU']:.2f} "
                   f"Acc {metrics['linear/Accuracy']:.2f} | clu mIoU "
@@ -208,6 +258,35 @@ def main(argv=None):
         lines.append(f"* {label}: f32 {f32.mean():.2f}±{f32.std():.2f}, "
                      f"bf16 {b16.mean():.2f}±{b16.std():.2f}, "
                      f"delta {b16.mean() - f32.mean():+.2f}")
+    lines += [
+        "",
+        "## Eval-path dtype (same trained weights, f32 vs bf16 forward)",
+        "",
+        "Per trained model: full-resolution probe-argmax agreement between "
+        "an f32-backbone and a bf16-backbone eval forward, and the mIoU "
+        "each arm yields — the deviation the eval CLI's bf16 default costs "
+        "at inference time.",
+        "",
+        "| train dtype | seed | lin agree | clu agree | lin mIoU f32->bf16 "
+        "| clu mIoU f32->bf16 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in eval_rows:
+        lines.append(
+            f"| {r['dtype']} | {r['seed']} | {r['lin_agree']:.4f} | "
+            f"{r['clu_agree']:.4f} | {r['flo_lin_mIoU']:.2f} -> "
+            f"{r['bfl_lin_mIoU']:.2f} | {r['flo_clu_mIoU']:.2f} -> "
+            f"{r['bfl_clu_mIoU']:.2f} |")
+    la = np.array([r["lin_agree"] for r in eval_rows])
+    ca = np.array([r["clu_agree"] for r in eval_rows])
+    dl = np.array([r["bfl_lin_mIoU"] - r["flo_lin_mIoU"] for r in eval_rows])
+    dc = np.array([r["bfl_clu_mIoU"] - r["flo_clu_mIoU"] for r in eval_rows])
+    lines += ["",
+              f"* agreement: linear {la.mean():.4f}±{la.std():.4f}, "
+              f"cluster {ca.mean():.4f}±{ca.std():.4f}",
+              f"* eval-dtype mIoU delta (bf16 - f32): linear "
+              f"{dl.mean():+.2f}±{dl.std():.2f}, cluster "
+              f"{dc.mean():+.2f}±{dc.std():.2f}"]
     lines += ["", "Loss curves (mean total loss per "
               f"{args.chunk}-step window):", "", "```"]
     for (dtype, seed), c in curves.items():

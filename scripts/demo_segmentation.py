@@ -56,6 +56,7 @@ def main(argv=None):
         run_crf=bool(cfg.run_crf), label_res=int(cfg.res),
         crf=crf_config_from_cfg(cfg),
         precision=cfg.get("matmul_precision"),
+        backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
     )
     predict = make_predict_step(fcfg, ecfg)
 
