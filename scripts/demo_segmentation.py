@@ -59,6 +59,9 @@ def main(argv=None):
         backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
     )
     predict = make_predict_step(fcfg, ecfg)
+    # device-resident params: numpy trees re-transfer ~88 MB per predict call
+    # on tunneled hosts (see eval_segmentation.py for the measurement)
+    params = jax.device_put(params)
 
     dataset = UnlabeledImageFolder(cfg.image_dir, get_transform(cfg.res, False, "center"))
     bs = cfg.batch_size * 2

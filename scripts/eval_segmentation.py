@@ -69,6 +69,15 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
 
     mesh = mesh_lib.make_mesh_for_batch(int(cfg.batch_size) * 2, cfg.get("n_devices"))
     eval_step = make_eval_step(fcfg, ecfg, mesh)
+    # place params on device ONCE (replicated across the mesh): passing the
+    # numpy checkpoint tree into the jitted step re-transfers all ~88 MB
+    # every batch — measured 2.2 s vs 0.43 s per batch-32 step on the
+    # tunneled v5e (5x the whole eval step)
+    import jax
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
 
     linear_metrics = SegMetrics("final/linear/", n_classes, 0, False)
     cluster_metrics = SegMetrics("final/cluster/", n_classes, extra_clusters, True)
@@ -95,7 +104,10 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
     pending = []
     full_bs = cfg.batch_size * 2
     n_dev = mesh.devices.size
-    for batch in loader:
+
+    def place(batch):
+        """Pad + pack + device_put one batch (runs on the prefetch thread so
+        the transfer of batch k+1 overlaps the device step of batch k)."""
         img = batch["img"].astype(np.float32)
         label = batch["label"]
         if img.shape[0] < full_bs:
@@ -110,9 +122,14 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
             label = np.concatenate([label, np.full((pad, *label.shape[1:]), -1,
                                                    label.dtype)])
         img_d, label_d = stage(img, label)
+        return img_d, label_d, img.shape[0] - pad
+
+    from depthg_tpu.data.loader import device_prefetch
+
+    for img_d, label_d, n_real in device_prefetch(iter(loader), place):
         lin_stats, clu_stats = eval_step(params, img_d, label_d)
         pending.append((lin_stats, clu_stats))
-        n_images += img.shape[0] - pad
+        n_images += n_real
         if len(pending) >= 8:  # drain without stalling the device queue
             for ls, cs in pending:
                 linear_metrics.add_stats(ls)
