@@ -183,16 +183,31 @@ def _net_group(params: dict, hp: TrainHParams) -> dict:
     return g
 
 
-def cross_entropy_masked(logits: jnp.ndarray, labels: jnp.ndarray, n_classes: int):
-    """torch CrossEntropyLoss over pixels with labels in [0, n_classes)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    flat_labels = labels.reshape(-1)
-    mask = (flat_labels >= 0) & (flat_labels < n_classes)
-    safe = jnp.clip(flat_labels, 0, n_classes - 1)
-    nll = -jnp.take_along_axis(logp.reshape(-1, n_classes), safe[:, None], axis=1)[:, 0]
-    nll = jnp.where(mask, nll, 0.0)
-    count = jnp.maximum(mask.sum(), 1)
-    return nll.sum() / count
+def cross_entropy_masked(logits: jnp.ndarray, labels: jnp.ndarray, n_classes: int,
+                         class_axis: int = -1):
+    """torch CrossEntropyLoss over pixels with labels in [0, n_classes).
+
+    ``class_axis=1`` takes NCHW logits directly — on TPU the class axis must
+    NOT be the minor (lane) dimension: a [B, H, W, 27] layout pads 27 lanes
+    to 128 and the transposed full-res log-softmax measured 12.6 ms/batch-16
+    vs 0.28 ms for identical axis-1 math (bit-identical loss value). The
+    reference computes the same quantity channel-first
+    (``src/train_segmentation.py:426-438``).
+    """
+    logits = logits.astype(jnp.float32)
+    if class_axis in (-1, logits.ndim - 1):
+        logits = jnp.moveaxis(logits, -1, 1)
+    elif class_axis != 1:
+        raise ValueError(f"class_axis must be 1 or -1, got {class_axis}")
+    lse = jax.nn.logsumexp(logits, axis=1)
+    mask = (labels >= 0) & (labels < n_classes)
+    safe = jnp.clip(labels, 0, n_classes - 1)
+    cls = jnp.arange(n_classes, dtype=safe.dtype).reshape(
+        (1, n_classes) + (1,) * (logits.ndim - 2))
+    onehot = cls == safe[:, None]
+    picked = jnp.sum(jnp.where(onehot, logits, 0.0), axis=1)
+    nll = jnp.where(mask, lse - picked, 0.0)
+    return nll.sum() / jnp.maximum(mask.sum(), 1)
 
 
 def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
@@ -359,8 +374,8 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
 
     linear_logits = probes.linear_probe_apply(params["linear_probe"], detached_code)
     linear_logits = resize_bilinear(linear_logits, label.shape[-2:])
-    linear_logits = jnp.transpose(linear_logits, (0, 2, 3, 1))
-    linear_loss = cross_entropy_masked(linear_logits, label, hp.n_classes)
+    linear_loss = cross_entropy_masked(linear_logits, label, hp.n_classes,
+                                       class_axis=1)
     logs["loss/linear"] = linear_loss
     loss = loss + linear_loss
 
