@@ -272,11 +272,16 @@ def _phase_offsets(p: int, ds: int) -> list:
 
 def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
     """Joint-bilateral splat/slice operator A = S^T K S (see CRFConfig.
-    splat_phases). Returns (apply_A, deg) with apply_A: [C, H, W] -> [C, H, W]
-    (raw, unnormalized message) and deg = A @ 1 at FULL resolution."""
+    splat_phases). Returns (apply_A, deg): deg = A @ 1 at FULL resolution,
+    and apply_A: [C, H, W] -> [C, H, W] computes the symmetrically
+    NORMALIZED message D^{-1/2} A D^{-1/2} q — the rsqrt degree is folded
+    into the splat weights once at build time (S = pool o diag(wgt), so
+    scaling wgt scales both the S and S^T applications), saving two
+    full-resolution multiplies per mean-field iteration."""
     h, w = image.shape[-2:]
     hd, wd = h // ds, w // ds
     nc = hd * wd
+    p = len(phases)
     rgb_full = image.astype(jnp.float32) / ccfg.bi_rgb_std
 
     feats_list, wgt_list = [], []
@@ -293,35 +298,41 @@ def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
                                 / ccfg.splat_sigma_factor ** 2))
 
     bf = jnp.concatenate(feats_list, axis=0)  # [P * nc, 5]
-    n_pts = len(phases) * nc
+    n_pts = p * nc
     cache = _kernel_cache_bytes(n_pts, ccfg) is not None
     kmat = _bilateral_kernel(bf, ccfg.block, dt) if cache else None
 
-    def sum_pool(x):
-        return x.reshape(x.shape[0], hd, ds, wd, ds).sum((2, 4))
+    # cell-blocked splat weights [P, hd, ds, wd, ds]: each transfer
+    # direction is ONE fused broadcast-multiply-reduce over the phase/cell
+    # axes instead of P sequential full-resolution read-modify-write passes
+    # (the mean field is HBM-bound at full res; measured on v5e at ds=8 P=4
+    # batch 16: 9.8 -> see docs/PERFORMANCE.md)
+    wgt_c = jnp.stack(wgt_list).reshape(p, hd, ds, wd, ds)
 
-    def unpool(x):
-        return jnp.repeat(jnp.repeat(x, ds, -2), ds, -1)
+    def make_apply(wc):
+        def apply_a(q):
+            # dtype-following: messages run in the mean-field state dtype
+            # (bf16 halves the full-res HBM traffic); the one-time degree
+            # call passes f32 ones
+            c = q.shape[0]
+            qc = q.reshape(c, hd, ds, wd, ds)
+            wq = wc.astype(q.dtype)
+            # splat: z[p,c,i,j] = sum_{a,b} q[c,i,a,j,b] * wgt[p,i,a,j,b]
+            z = jnp.sum(qc[None] * wq[:, None], axis=(3, 5))  # [P, C, hd, wd]
+            z = jnp.moveaxis(z.reshape(p, c, nc), 1, 2).reshape(n_pts, c).astype(dt)
+            mc = (kmat @ z if cache
+                  else _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas))
+            m = jnp.moveaxis(mc.reshape(p, nc, c), 2, 1).reshape(p, c, hd, wd)
+            # slice: out[c,i,a,j,b] = sum_p m[p,c,i,j] * wgt[p,i,a,j,b]
+            out = jnp.sum(m[:, :, :, None, :, None].astype(q.dtype)
+                          * wq[:, None], axis=0)
+            return out.reshape(c, h, w)
+        return apply_a
 
-    def apply_a(q):
-        # dtype-following: the per-iteration messages run in the mean-field
-        # state dtype (bf16 halves the dominant full-res HBM traffic of the
-        # splat/slice passes); the one-time degree call passes f32 ones
-        c = q.shape[0]
-        zs = [sum_pool(q * wg[None].astype(q.dtype)).reshape(c, -1)
-              for wg in wgt_list]
-        z = jnp.concatenate(zs, axis=1).astype(dt).T  # [P*nc, C]
-        mc = (kmat @ z if cache
-              else _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas))
-        mc = mc.T.astype(q.dtype)  # [C, P*nc]
-        out = jnp.zeros((c, h, w), q.dtype)
-        for i, wg in enumerate(wgt_list):
-            out = out + unpool(mc[:, i * nc:(i + 1) * nc].reshape(c, hd, wd)) \
-                * wg[None].astype(q.dtype)
-        return out
-
-    deg = apply_a(jnp.ones((1, h, w), jnp.float32))[0]
-    return apply_a, deg
+    deg = make_apply(wgt_c)(jnp.ones((1, h, w), jnp.float32))[0]
+    isd = jax.lax.rsqrt(jnp.maximum(deg, 1e-20))
+    wgt_norm = wgt_c * isd.reshape(hd, ds, wd, ds)[None]
+    return make_apply(wgt_norm), deg
 
 
 def _bilateral_features(image: jnp.ndarray, ccfg: CRFConfig, ds: int) -> jnp.ndarray:
@@ -364,9 +375,9 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
     phases = _phase_offsets(ccfg.splat_phases, ds) if mixed else []
     if phases:
         # joint-bilateral splat/slice: pure-color phase grids, color-weighted
-        # transfer operator, full-resolution degree (CRFConfig.splat_phases)
-        jbu_apply, deg_full = _jbu_operator(image, ccfg, ds, dt, phases)
-        inv_sqrt_deg_jbu = jax.lax.rsqrt(jnp.maximum(deg_full, 1e-20))[None]
+        # transfer operator, full-resolution degree (CRFConfig.splat_phases);
+        # the operator returns the D^{-1/2} A D^{-1/2}-normalized message
+        jbu_apply, _ = _jbu_operator(image, ccfg, ds, dt, phases)
     else:
         if ds > 1:
             image_d = resize_bilinear(image[None].astype(jnp.float32), (hd, wd))[0]
@@ -412,8 +423,7 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
         def mf_iter(_, q):
             mg = _gaussian_filter(q * isd, gauss_sigma) * isd
             if phases:
-                isd_j = inv_sqrt_deg_jbu.astype(q.dtype)
-                mb = jbu_apply(q * isd_j) * isd_j
+                mb = jbu_apply(q)  # normalization folded into the splat weights
             else:
                 # fast (native-dtype, default-precision) resizes: q lives in
                 # [0, 1] and each iteration re-softmaxes from the f32 unary,

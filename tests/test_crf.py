@@ -130,8 +130,10 @@ def test_batch_strategy_sharded_disables_cache_not_map(monkeypatch):
 
 
 def test_jbu_operator_matches_explicit_matrix():
-    """splat_phases: apply_a must equal the explicit S^T K S with S the
-    color-weighted phase-splat matrix and K the phase-grid dense kernel."""
+    """splat_phases: apply_a must equal the explicit D^-1/2 S^T K S D^-1/2
+    (the operator folds the symmetric degree normalization into the splat
+    weights) with S the color-weighted phase-splat matrix, K the phase-grid
+    dense kernel, and deg = S^T K S @ 1."""
     from depthg_tpu.ops.crf import CRFConfig, _jbu_operator, _phase_offsets
 
     rng = np.random.default_rng(5)
@@ -167,9 +169,12 @@ def test_jbu_operator_matches_explicit_matrix():
 
     q = rng.random((3, h, w)).astype(np.float32)
     got = np.asarray(apply_a(jnp.asarray(q)))
-    want = (A @ q.reshape(3, -1).T).T.reshape(3, h, w)
+    deg_np = A @ np.ones(n)
+    isd = 1.0 / np.sqrt(np.maximum(deg_np, 1e-20))
+    A_norm = (isd[:, None] * A) * isd[None, :]
+    want = (A_norm @ q.reshape(3, -1).T).T.reshape(3, h, w)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(deg), (A @ np.ones(n)).reshape(h, w),
+    np.testing.assert_allclose(np.asarray(deg), deg_np.reshape(h, w),
                                rtol=2e-3, atol=1e-3)
 
 

@@ -84,3 +84,27 @@ def test_reset_probes_changes_only_probes():
                        np.asarray(state["params"]["net"]["cluster1"]["w"]))
     assert not np.allclose(np.asarray(new["params"]["cluster_probe"]["clusters"]),
                            np.asarray(state["params"]["cluster_probe"]["clusters"]))
+
+
+def test_cross_entropy_axis1_matches_channel_last():
+    """The NCHW (class_axis=1) CE must equal the channel-last formulation and
+    torch's CrossEntropyLoss semantics (ignore out-of-range labels)."""
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.standard_normal((4, 27, 17, 19)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(-1, 28, size=(4, 17, 19)).astype(np.int32))
+
+    v1 = step_lib.cross_entropy_masked(
+        jnp.transpose(logits, (0, 2, 3, 1)), labels, 27)
+    v2 = step_lib.cross_entropy_masked(logits, labels, 27, class_axis=1)
+    assert np.allclose(np.asarray(v1), np.asarray(v2), rtol=0, atol=1e-6)
+
+    # hand-checked reference on the masked pixels
+    lp = np.asarray(jax.nn.log_softmax(logits, axis=1))
+    lb = np.asarray(labels)
+    mask = (lb >= 0) & (lb < 27)
+    picked = np.take_along_axis(lp, np.clip(lb, 0, 26)[:, None], axis=1)[:, 0]
+    expected = -(picked * mask).sum() / mask.sum()
+    assert np.allclose(np.asarray(v2), expected, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        step_lib.cross_entropy_masked(logits, labels, 27, class_axis=2)
