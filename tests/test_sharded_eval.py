@@ -60,3 +60,35 @@ def test_eval_step_dispatches_depth_arch():
     label = jnp.asarray(rng.integers(-1, 5, size=(2, 32, 32)))
     lin, clu = step(params, img, label)
     assert int(np.asarray(lin).sum() + np.asarray(clu).sum()) > 0
+
+
+def test_sharded_eval_matches_single_device_default_crf():
+    """Same mesh==single check at the eval CLI's DEFAULT CRF operating point
+    (ds=8 with 4-phase joint-bilateral splat/slice, bf16 state) — covers the
+    _batch_apply phases-path strategy interplay with a sharded batch axis."""
+    tiny = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, img_size=32)
+    fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=16, vit_config=tiny)
+    ecfg = EvalConfig(n_classes=5, run_crf=True, label_res=32,
+                      crf=CRFConfig(downsample=8, splat_phases=4,
+                                    splat_sigma_factor=1.8, dtype="bfloat16",
+                                    block=64))
+    key = jax.random.PRNGKey(1)
+    params = {"net": featurizer_init(key, fcfg),
+              "linear_probe": linear_probe_init(key, 16, 5),
+              "cluster_probe": cluster_lookup_init(key, 16, 5)}
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((8, 3, 32, 32)).astype(np.float32))
+    label = jnp.asarray(rng.integers(-1, 5, size=(8, 32, 32)))
+
+    single = make_eval_step(fcfg, ecfg, mesh=None)
+    l1, c1 = single(params, img, label)
+
+    mesh = mesh_lib.make_mesh(8)
+    sharded = make_eval_step(fcfg, ecfg, mesh=mesh)
+    l8, c8 = sharded(params, img, label)
+
+    # lax.map (single) vs vmap (sharded) reorder bf16 reductions; confusion
+    # counts must still agree exactly because predictions are argmaxes with
+    # ample margins at this size — require equality
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
