@@ -43,7 +43,8 @@ class _DecodedImageCache:
     randomness is untouched) removes the repeated JPEG cost. Thread-safe for
     the loader pool; entries are fully loaded (immutable pixel buffers), so
     concurrent readers are fine. Sized in MB via ``configure`` (cfg key
-    ``image_cache_mb``; 0 disables)."""
+    ``image_cache_mb``; 0 disables). One-pass workloads (a single eval sweep)
+    get no hits — set ``image_cache_mb=0`` there to reclaim the budget."""
 
     def __init__(self, budget_mb: int = 512):
         import threading
@@ -74,7 +75,12 @@ class _DecodedImageCache:
         img = Image.open(path)
         img = img.convert(convert) if convert else img
         img.load()
-        nbytes = img.width * img.height * len(img.getbands())
+        # bytes per band by mode: 16-bit depth PNGs (I;16*) are 2, 32-bit
+        # int/float (I, F) are 4 — counting them as 1 would let the real
+        # RSS exceed the configured budget up to 4x
+        bpb = 2 if img.mode.startswith("I;16") else \
+            4 if img.mode in ("I", "F") else 1
+        nbytes = img.width * img.height * len(img.getbands()) * bpb
         with self._lock:
             if 0 < nbytes <= self._budget and key not in self._data:
                 self._data[key] = (img, nbytes)

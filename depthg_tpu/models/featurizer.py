@@ -167,8 +167,11 @@ def dispatch_apply(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
 
     if isinstance(fcfg, PyramidConfig):
         # arch="feature-pyramid" (reference src/train_segmentation.py:99-101):
-        # frozen ResNet + trainable pyramid head; depth/attn/dropout unused
-        return pyramid_featurizer_apply(params, img, fcfg, train=train)
+        # frozen ResNet + trainable pyramid head; depth/attn/dropout unused.
+        # The convs follow input dtype, so there is no separate matmul
+        # `precision` knob here — bf16 vs f32 is the whole choice.
+        return pyramid_featurizer_apply(params, img, fcfg, train=train,
+                                        backbone_dtype=backbone_dtype)
     if isinstance(fcfg, DepthFeaturizerConfig):
         return depth_featurizer_apply(params, img, fcfg, depth=depth, key=key,
                                       train=train, precision=precision,

@@ -385,8 +385,21 @@ def pyramid_init(key: jax.Array, cfg: PyramidConfig, dtype=jnp.float32) -> dict:
 
 
 def _pyramid_forward(params: dict, backbone: dict, x: jnp.ndarray,
-                     cfg: PyramidConfig, train: bool):
-    feats = resnet50_activations(backbone, x, cfg.layer_nums)
+                     cfg: PyramidConfig, train: bool,
+                     backbone_dtype: str | None = None):
+    if backbone_dtype == "bfloat16":
+        # same mechanism as the ViT featurizer (featurizer.backbone_features):
+        # the frozen ResNet is stop-gradient feature extraction, so bf16
+        # params+input halve its HBM traffic; features return f32 so the
+        # trainable head/losses keep full precision
+        backbone = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            backbone)
+        feats = resnet50_activations(backbone, x.astype(jnp.bfloat16),
+                                     cfg.layer_nums)
+        feats = {k: v.astype(jnp.float32) for k, v in feats.items()}
+    else:
+        feats = resnet50_activations(backbone, x, cfg.layer_nums)
     feats = {k: jax.lax.stop_gradient(v) for k, v in feats.items()}
     low = feats[cfg.layer_nums[-1]]
 
@@ -441,13 +454,15 @@ def pyramid_featurizer_init(key: jax.Array, cfg: PyramidConfig,
 
 
 def pyramid_featurizer_apply(params: dict, img: jnp.ndarray, cfg: PyramidConfig,
-                             train: bool = False) -> dict:
+                             train: bool = False,
+                             backbone_dtype: str | None = None) -> dict:
     """dispatch_apply-compatible forward: ``params`` = pyramid head params +
     the backbone under ``vit``. Returns dict(feats, code, attn=None[,
     bn_stats]) — ``bn_stats`` (train only) are the DoubleConv batch statistics
     for the caller's running-stat EMA (see ``merge_bn_stats``)."""
     head = {k: v for k, v in params.items() if k != "vit"}
-    low, clusters, bn_stats = _pyramid_forward(head, params["vit"], img, cfg, train)
+    low, clusters, bn_stats = _pyramid_forward(head, params["vit"], img, cfg,
+                                               train, backbone_dtype)
     out = {"feats": low, "code": clusters, "attn": None}
     if train:
         out["bn_stats"] = bn_stats

@@ -372,7 +372,11 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
     hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
     dt = jnp.bfloat16 if ccfg.dtype == "bfloat16" else jnp.float32
 
-    phases = _phase_offsets(ccfg.splat_phases, ds) if mixed else []
+    # the splat/slice point set needs exact ds x ds cells; odd resolutions
+    # (res % ds != 0) take the resize-based mixed path like the pre-phase
+    # default did (phase grids would disagree with the h//ds cell count)
+    divisible = h % ds == 0 and w % ds == 0
+    phases = _phase_offsets(ccfg.splat_phases, ds) if (mixed and divisible) else []
     if phases:
         # joint-bilateral splat/slice: pure-color phase grids, color-weighted
         # transfer operator, full-resolution degree (CRFConfig.splat_phases);
@@ -498,7 +502,8 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
     h, w = images.shape[-2:]
     hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
     n_pts = hd * wd
-    if ccfg.mixed_resolution and ds > 1 and ccfg.splat_phases > 0:
+    if ccfg.mixed_resolution and ds > 1 and ccfg.splat_phases > 0 \
+            and h % ds == 0 and w % ds == 0:  # odd res: phase-free fallback
         n_pts *= ccfg.splat_phases  # JBU point set = P phase grids
     per_img = _kernel_cache_bytes(n_pts, ccfg)
     if per_img is not None:

@@ -198,3 +198,28 @@ def test_jbu_crf_end_to_end_and_batch():
     np.testing.assert_allclose(np.asarray(qb[0]),
                                np.asarray(dense_crf(imgs[0], lgs[0], ccfg)),
                                atol=1e-5)
+
+
+def test_jbu_default_handles_odd_resolution():
+    """res % downsample != 0 must take the resize-based mixed path instead of
+    crashing in the phase-grid splat (regression: the ds=8 P=4 default made
+    e.g. res=36 unusable)."""
+    import dataclasses
+
+    from depthg_tpu.ops.crf import CRFConfig, dense_crf_multi
+
+    rng = np.random.default_rng(7)
+    image = jnp.asarray(rng.uniform(0, 255, (3, 36, 36)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((5, 9, 9)).astype(np.float32))
+    ccfg = CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                     dtype="bfloat16", block=64, max_iter=3)
+    (q,) = dense_crf_multi(image, [logits], ccfg)
+    assert q.shape == (5, 36, 36)
+    assert np.isfinite(np.asarray(q)).all()
+    s = np.asarray(q).sum(0)
+    np.testing.assert_allclose(s, np.ones_like(s), atol=2e-2)
+
+    # divisible size still takes the phase path (same config)
+    image2 = jnp.asarray(rng.uniform(0, 255, (3, 32, 32)).astype(np.float32))
+    (q2,) = dense_crf_multi(image2, [logits], ccfg)
+    assert q2.shape == (5, 32, 32)

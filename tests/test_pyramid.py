@@ -89,3 +89,27 @@ def test_full_decoder_and_resize_classify():
     # normalization holds exactly only pre-upsample (the reference also
     # interpolates log-probs); spot-check an aligned corner pixel
     np.testing.assert_allclose(float(jnp.exp(logits[0, :, 0, 0]).sum()), 1.0, atol=1e-4)
+
+
+def test_pyramid_featurizer_bfloat16_backbone():
+    """backbone_dtype must reach the frozen ResNet (regression: dispatch_apply
+    silently dropped it) — outputs stay f32 and close to the f32 forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from depthg_tpu.models.pyramid import (
+        PyramidConfig, pyramid_featurizer_apply, pyramid_featurizer_init)
+
+    cfg = PyramidConfig(granularity=1, dim=8)
+    params = pyramid_featurizer_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((2, 3, 64, 64)).astype(np.float32))
+    out32 = pyramid_featurizer_apply(params, img, cfg)
+    out16 = pyramid_featurizer_apply(params, img, cfg, backbone_dtype="bfloat16")
+    assert out16["code"].dtype == jnp.float32
+    assert out16["feats"].dtype == jnp.float32
+    # bf16 backbone deviates slightly but must stay correlated
+    a = np.asarray(out32["code"]).ravel()
+    b = np.asarray(out16["code"]).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
