@@ -92,14 +92,10 @@ def main():
     from depthg_tpu.models.probes import cluster_lookup_init, linear_probe_init
     from depthg_tpu.ops.crf import CRFConfig
     from depthg_tpu.utils.metrics import confusion_update
+    from depthg_tpu.utils.profiling import dispatch_rtt, hlo_flops
 
     # ---- calibrate dispatch+fetch round-trip (tunneled runtimes: ~30 ms)
-    @jax.jit
-    def _trivial(x):
-        return x * 2.0
-
-    float(_trivial(jnp.float32(1.0)))
-    rtt = _median_time(lambda: float(_trivial(jnp.float32(1.0))), repeats=5)
+    rtt = dispatch_rtt(repeats=5)
 
     fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=70)
     # the eval CLI default operating point (ops.crf.crf_config_from_cfg)
@@ -154,8 +150,7 @@ def main():
     # (cost_analysis counts a fori_loop body ONCE, not per trip — verified on
     # this jaxlib — so the per-iteration flops are the body's count as-is)
     try:
-        cost = jax.jit(timed_loop).lower(params, img, label).compile().cost_analysis()
-        flops = (cost[0] if isinstance(cost, (list, tuple)) else cost).get("flops", 0.0)
+        flops = hlo_flops(jax.jit(timed_loop).lower(params, img, label).compile())
         eval_tflops = flops / dt / 1e12
     except Exception:
         eval_tflops = float("nan")
@@ -250,8 +245,7 @@ def main():
     float(loop_bf(state, tb))
     dt_tb = (_median_time(lambda: float(loop_bf(state, tb))) - rtt) / T_ITERS
     try:
-        cost = jax.jit(loop_bf).lower(state, tb).compile().cost_analysis()
-        flops = (cost[0] if isinstance(cost, (list, tuple)) else cost).get("flops", 0.0)
+        flops = hlo_flops(jax.jit(loop_bf).lower(state, tb).compile())
         train_tflops = flops / dt_tb / 1e12  # body counted once (see above)
     except Exception:
         train_tflops = float("nan")

@@ -43,10 +43,13 @@ class _DecodedImageCache:
     randomness is untouched) removes the repeated JPEG cost. Thread-safe for
     the loader pool; entries are fully loaded (immutable pixel buffers), so
     concurrent readers are fine. Sized in MB via ``configure`` (cfg key
-    ``image_cache_mb``; 0 disables). One-pass workloads (a single eval sweep)
-    get no hits — set ``image_cache_mb=0`` there to reclaim the budget."""
+    ``image_cache_mb``; 0 disables). OFF by default: one-pass workloads (a
+    single eval sweep) get zero hits and would pay pure RSS; the train CLI —
+    the workload that revisits every image each epoch — turns it on
+    (``scripts/train_segmentation.py``), and any cfg can set
+    ``image_cache_mb`` explicitly."""
 
-    def __init__(self, budget_mb: int = 512):
+    def __init__(self, budget_mb: int = 0):
         import threading
         from collections import OrderedDict
 

@@ -52,13 +52,19 @@ def unnormalize_255(img: jnp.ndarray) -> jnp.ndarray:
 
 def tta_code(params: dict, img: jnp.ndarray, fcfg, precision=None,
              backbone_dtype=None) -> jnp.ndarray:
-    """Flip-TTA averaged projection code (reference ``eval_segmentation.py:150-152``)."""
-    code1 = featurizer_lib.dispatch_apply(params, img, fcfg, precision=precision,
-                                          backbone_dtype=backbone_dtype)["code"]
-    code2 = featurizer_lib.dispatch_apply(params, img[..., ::-1], fcfg,
-                                          precision=precision,
-                                          backbone_dtype=backbone_dtype)["code"]
-    return (code1 + code2[..., ::-1]) / 2
+    """Flip-TTA averaged projection code (reference ``eval_segmentation.py:150-152``).
+
+    The original and the flipped batch ride ONE stacked [2B] backbone forward
+    instead of two [B] dispatches: eval runs the featurizer with no dropout or
+    batch statistics, so every sample is independent and the stacked pass is
+    the same per-sample math — but it doubles the GEMM batch feeding the MXU
+    and halves the per-forward launch overhead (the two frozen forwards are
+    the dominant eval-logits cost, docs/PERFORMANCE.md)."""
+    b = img.shape[0]
+    both = jnp.concatenate([img, img[..., ::-1]], axis=0)
+    code = featurizer_lib.dispatch_apply(params, both, fcfg, precision=precision,
+                                         backbone_dtype=backbone_dtype)["code"]
+    return (code[:b] + code[b:][..., ::-1]) / 2
 
 
 def eval_logits(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):

@@ -279,6 +279,12 @@ _MODEL_FILES = {
     "vgg11": "vgg11-8a719046.pth",
 }
 
+# model_types whose load_model returns the resnet50 layout (n_feats=2048) —
+# the only family FeaturePyramidNet's hard-coded channel table accepts
+# (reference src/modules.py:703-704)
+RESNET50_MODEL_TYPES = frozenset(
+    {"robust_resnet50", "densecl", "mocov2", "resnet50"})
+
 
 def load_model(model_type: str, data_dir: str):
     """Reference ``load_model`` equivalent: returns (params, features_fn,
@@ -296,7 +302,12 @@ def load_model(model_type: str, data_dir: str):
 
     import torch
 
-    path = join(data_dir, _MODEL_FILES.get(model_type, ""))
+    if model_type not in _MODEL_FILES:
+        # reference load_model's terminal branch (src/utils.py:120) —
+        # raised here BEFORE the path join so an unknown type can't turn
+        # into torch.load(<data_dir>) / a misleading missing-file message
+        raise ValueError(f"No model: {model_type} found")
+    path = join(data_dir, _MODEL_FILES[model_type])
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"{model_type} weights not found at {path}; the reference downloads "

@@ -270,6 +270,21 @@ def _phase_offsets(p: int, ds: int) -> list:
     raise ValueError(f"splat_phases must be 0, 1, 2 or 4; got {p}")
 
 
+def _jbu_phases(ccfg: CRFConfig, h: int, w: int) -> list:
+    """Phase grids of the joint-bilateral splat/slice path at resolution
+    (h, w), or [] when the path is inactive (non-mixed mode, ds <= 1,
+    splat_phases = 0, or an odd resolution — the phase grids need exact
+    ds x ds cells, so those images take the resize-based mixed path). The
+    ONE definition of the JBU activation predicate: ``dense_crf_multi``
+    picks its message operator with it and ``_batch_apply`` sizes the
+    kernel cache with it — a second copy would silently desynchronize the
+    cache estimate from the actual point set."""
+    ds = ccfg.downsample
+    if not (ccfg.mixed_resolution and ds > 1 and h % ds == 0 and w % ds == 0):
+        return []
+    return _phase_offsets(ccfg.splat_phases, ds)
+
+
 def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
     """Joint-bilateral splat/slice operator A = S^T K S (see CRFConfig.
     splat_phases). Returns (apply_A, deg): deg = A @ 1 at FULL resolution,
@@ -372,11 +387,7 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
     hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
     dt = jnp.bfloat16 if ccfg.dtype == "bfloat16" else jnp.float32
 
-    # the splat/slice point set needs exact ds x ds cells; odd resolutions
-    # (res % ds != 0) take the resize-based mixed path like the pre-phase
-    # default did (phase grids would disagree with the h//ds cell count)
-    divisible = h % ds == 0 and w % ds == 0
-    phases = _phase_offsets(ccfg.splat_phases, ds) if (mixed and divisible) else []
+    phases = _jbu_phases(ccfg, h, w)
     if phases:
         # joint-bilateral splat/slice: pure-color phase grids, color-weighted
         # transfer operator, full-resolution degree (CRFConfig.splat_phases);
@@ -502,9 +513,9 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
     h, w = images.shape[-2:]
     hd, wd = (h // ds, w // ds) if ds > 1 else (h, w)
     n_pts = hd * wd
-    if ccfg.mixed_resolution and ds > 1 and ccfg.splat_phases > 0 \
-            and h % ds == 0 and w % ds == 0:  # odd res: phase-free fallback
-        n_pts *= ccfg.splat_phases  # JBU point set = P phase grids
+    n_phases = len(_jbu_phases(ccfg, h, w))
+    if n_phases:
+        n_pts *= n_phases  # JBU point set = P phase grids
     per_img = _kernel_cache_bytes(n_pts, ccfg)
     if per_img is not None:
         if n_shards <= 1:

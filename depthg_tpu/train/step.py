@@ -63,6 +63,15 @@ class TrainHParams:
     lhp_propagation_strategy: str = "depth"
     # backbone matmul precision: None = MXU default; "float32" for parity runs
     precision: str | None = None
+    # run the img / img_pos featurizer forwards as ONE stacked [2B] pass:
+    # same per-sample math (dropout masks stay per-sample; no batch-coupled
+    # ops in the ViT archs), but double the GEMM batch on the MXU and half
+    # the launch overhead of the dominant step cost (the frozen backbone,
+    # docs/PERFORMANCE.md). Auto-disabled where semantics would change:
+    # LHP attn propagation (needs the [N,N] attn of the FIRST forward only)
+    # and the pyramid arch (BatchNorm batch statistics are per-forward in
+    # the reference). False = exact reference forward structure.
+    fused_pair_forward: bool = True
     # frozen-backbone storage dtype: "bfloat16" halves the dominant cost of
     # the step (the two stop-gradient ViT forwards — measured 21.6 -> 10.8
     # ms/pass at batch 16 @224 on v5e); training outcomes match f32
@@ -110,6 +119,7 @@ def hparams_from_cfg(cfg, n_classes: int) -> TrainHParams:
         # stays f32 so parity harnesses constructing TrainHParams directly
         # keep reference numerics
         backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
+        fused_pair_forward=bool(cfg.get("fused_pair_forward", True)),
         crf_samples=int(cfg.crf_samples),
         alpha=float(cfg.alpha), beta=float(cfg.beta), gamma=float(cfg.gamma),
         w1=float(cfg.w1), w2=float(cfg.w2), shift=float(cfg.shift),
@@ -231,9 +241,31 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
     # flash-attention path
     need_attn = hp.lhp and hp.lhp_propagation_strategy == "attn"
     bdt = None if hp.backbone_dtype == "float32" else hp.backbone_dtype
-    out = _apply_featurizer(net_params, img, fcfg, depth=depth, key=k1, train=True,
-                            precision=hp.precision, need_attn=need_attn,
-                            backbone_dtype=bdt)
+    from depthg_tpu.models.pyramid import PyramidConfig
+
+    fuse_pair = (hp.fused_pair_forward and hp.correspondence_weight > 0
+                 and not need_attn and not isinstance(fcfg, PyramidConfig))
+    out_pos_fused = None
+    if fuse_pair:
+        # one stacked [2B] frozen forward for img + img_pos (see
+        # TrainHParams.fused_pair_forward); dropout masks come from ONE key
+        # but stay independent per sample, so only the rng stream differs
+        # from the two-forward structure — not the semantics
+        b = img.shape[0]
+        both = jnp.concatenate([img, batch["img_pos"]], axis=0)
+        depth_both = (jnp.concatenate([depth, depth_pos], axis=0)
+                      if depth is not None and depth_pos is not None else None)
+        out_both = _apply_featurizer(net_params, both, fcfg, depth=depth_both,
+                                     key=k1, train=True, precision=hp.precision,
+                                     need_attn=False, backbone_dtype=bdt)
+        out = {"feats": out_both["feats"][:b], "code": out_both["code"][:b],
+               "attn": None}
+        out_pos_fused = {"feats": out_both["feats"][b:],
+                         "code": out_both["code"][b:]}
+    else:
+        out = _apply_featurizer(net_params, img, fcfg, depth=depth, key=k1,
+                                train=True, precision=hp.precision,
+                                need_attn=need_attn, backbone_dtype=bdt)
     feats, code = out["feats"], out["code"]
 
     logs: dict[str, Any] = {}
@@ -255,9 +287,10 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
         lhp_code = lhp_apply(frozen["lhp"], lhp_cfg, code, depth, img, out["attn"])
 
     if hp.correspondence_weight > 0:
-        out_pos = _apply_featurizer(net_params, batch["img_pos"], fcfg,
-                                    depth=depth_pos, key=k2, train=True,
-                                    precision=hp.precision, backbone_dtype=bdt)
+        out_pos = out_pos_fused if out_pos_fused is not None else \
+            _apply_featurizer(net_params, batch["img_pos"], fcfg,
+                              depth=depth_pos, key=k2, train=True,
+                              precision=hp.precision, backbone_dtype=bdt)
         feats_pos, code_pos = out_pos["feats"], out_pos["code"]
         if "bn_stats" in out_pos:
             bn_stats_list.append(out_pos["bn_stats"])

@@ -58,3 +58,34 @@ def trace(log_dir: str, enabled: bool = True):
 def log_jsonl(path: str, record: dict):
     with open(path, "a") as f:
         f.write(json.dumps(record) + "\n")
+
+
+def dispatch_rtt(repeats: int = 5) -> float:
+    """Median dispatch+fetch round-trip (seconds) of a trivial jitted
+    program — the constant to subtract from dependent-chain timings so host
+    RPC latency (tunneled runtimes: ~30 ms/call) cannot inflate device
+    numbers. The ONE calibration shared by ``bench.py`` and
+    ``scripts/crf_fidelity_study.py``; hand-rolled copies would drift and
+    make their ms columns silently incomparable."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _trivial(x):
+        return x * 2.0
+
+    float(_trivial(jnp.float32(1.0)))  # compile outside the timed reps
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        float(_trivial(jnp.float32(1.0)))
+        ts.append(time.time() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def hlo_flops(compiled) -> float:
+    """Executed-flop count from a compiled computation's ``cost_analysis()``,
+    normalizing the list-of-dicts vs dict return across jax versions."""
+    cost = compiled.cost_analysis()
+    return float((cost[0] if isinstance(cost, (list, tuple)) else cost)
+                 .get("flops", 0.0))

@@ -189,18 +189,11 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
     # dispatch+sync round-trip, calibrated so the in-batch per-image times
     # below aren't inflated by host RPC latency (tunneled runtimes: ~30 ms;
     # the r2 study timed per-image dispatches WITHOUT subtracting it, which
-    # overstated device cost ~10x for the fast configs)
-    @jax.jit
-    def _trivial(x):
-        return x * 2.0
+    # overstated device cost ~10x for the fast configs). Same calibration
+    # as bench.py so the two ms columns stay comparable.
+    from depthg_tpu.utils.profiling import dispatch_rtt
 
-    jax.block_until_ready(_trivial(jnp.float32(1.0)))
-    rtts = []
-    for _ in range(5):
-        t0 = time.time()
-        jax.block_until_ready(_trivial(jnp.float32(1.0)))
-        rtts.append(time.time() - t0)
-    rtt = sorted(rtts)[2]
+    rtt = dispatch_rtt(repeats=5)
 
     imgs = jnp.asarray(np.stack([s[0] for s in scenes]))
     lgs = jnp.asarray(np.stack([s[2] for s in scenes]))

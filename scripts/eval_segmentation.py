@@ -82,7 +82,6 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
     linear_metrics = SegMetrics("final/linear/", n_classes, 0, False)
     cluster_metrics = SegMetrics("final/cluster/", n_classes, extra_clusters, True)
 
-    import jax
     import jax.numpy as jnp
 
     from depthg_tpu.data.loader import pack_batch, unpack_batch

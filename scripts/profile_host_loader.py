@@ -60,7 +60,11 @@ def main(argv=None):
 
     from depthg_tpu.config import Config
     run_cfg = Config({"dataset_name": "cocostuff27", "model_type": "vit_small",
-                      "res": 224})
+                      "res": 224,
+                      # this script exists to measure DECODE cost — pin the
+                      # decoded-image LRU off so every row pays the real
+                      # per-item price (the train CLI enables it instead)
+                      "image_cache_mb": 0})
     # the eval CLI uses crop_type=None (raw COCO val); the cropped reader has
     # the same decode+transform shape and works off the synthetic tree
     run_cfg["crop_ratio"] = 0.5

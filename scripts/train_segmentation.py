@@ -72,15 +72,20 @@ def load_backbone(cfg, fcfg):
 
     cpu = jax.devices("cpu")[0]
     if cfg.arch == "feature-pyramid":
-        from depthg_tpu.models.pyramid import load_model, resnet50_init
+        from depthg_tpu.models.pyramid import (RESNET50_MODEL_TYPES,
+                                               load_model, resnet50_init)
 
+        # validate the model_type BEFORE touching the filesystem so a
+        # missing weights file can never silently swap model families: the
+        # random-init fallback below is only ever a resnet50
+        # (FeaturePyramidNet channel layout, src/modules.py:703-704)
+        if cfg.model_type not in RESNET50_MODEL_TYPES:
+            raise ValueError(
+                f"arch=feature-pyramid needs a resnet50-family model_type "
+                f"{sorted(RESNET50_MODEL_TYPES)} (FeaturePyramidNet channel "
+                f"layout, src/modules.py:703); got {cfg.model_type!r}")
         try:
-            params, _, n_feats = load_model(cfg.model_type, join(cfg.output_root, "data"))
-            if n_feats != 2048:
-                raise ValueError(
-                    f"arch=feature-pyramid needs a resnet50-family model_type "
-                    f"(FeaturePyramidNet channel layout, src/modules.py:703); "
-                    f"got {cfg.model_type}")
+            params, _, _ = load_model(cfg.model_type, join(cfg.output_root, "data"))
             return params
         except FileNotFoundError as e:
             print(f"WARNING: {e}; the backbone is randomly initialized.")
@@ -122,6 +127,21 @@ def main(argv=None):
 
     if cfg.arch not in ("dino", "dino_depth", "feature-pyramid"):
         raise NotImplementedError(f"arch={cfg.arch}")
+    if cfg.arch == "feature-pyramid" and float(cfg.get("rec_weight", 0)) > 0:
+        # broken in the reference too: its decoder maps dim -> n_feats where
+        # FeaturePyramidNet.n_feats = dim (src/modules.py:709), but the rec
+        # loss dots rec_feats against the 2048-channel 7x7 low_res_feats
+        # (src/train_segmentation.py:392-397) — shape mismatch either way.
+        # Every shipped config keeps rec_weight=0 for this arch.
+        raise NotImplementedError(
+            "rec_weight > 0 is unsupported for arch=feature-pyramid (the "
+            "reference's own decoder/feats shapes disagree there)")
+
+    # decoded-image LRU (data/datasets.py): training revisits every image
+    # each epoch on a single-core host — on by default HERE only; one-pass
+    # CLIs (eval/demo) leave it off unless cfg sets image_cache_mb
+    if cfg.get("image_cache_mb") is None:
+        cfg.image_cache_mb = 512
 
     seed = int(cfg.get("seed", 0))
     np.random.seed(seed)

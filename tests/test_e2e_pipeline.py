@@ -194,3 +194,29 @@ def test_feature_pyramid_cli(coco_root, tmp_path):
     metrics = json.load(open(join(out_root, "eval_metrics.json")))
     vals = list(metrics.values())[0]
     assert np.isfinite(vals["final/cluster/mIoU"])
+
+
+def test_feature_pyramid_guards(tmp_path):
+    """The pyramid-arch CLI fails loudly instead of silently degrading:
+    a non-resnet50 model_type must not fall back to a random resnet50 under
+    the wrong label (the fallback exists only for missing weight FILES of a
+    valid family), an unknown model_type hits the reference's ValueError
+    (src/utils.py:120) rather than torch.load(<data_dir>), and rec_weight>0
+    is rejected up front — the reference's own decoder/feats shapes disagree
+    for this arch (src/modules.py:709 vs src/train_segmentation.py:392-397)."""
+    from depthg_tpu.config import Config
+    from depthg_tpu.models.pyramid import load_model
+
+    train = _load_script("train_segmentation")
+
+    with pytest.raises(ValueError, match="No model"):
+        load_model("vit_small", str(tmp_path))  # unknown type, data_dir exists
+
+    cfg = Config({"arch": "feature-pyramid", "model_type": "vgg11",
+                  "output_root": str(tmp_path)})
+    with pytest.raises(ValueError, match="resnet50-family"):
+        train.load_backbone(cfg, None)  # wrong family, with OR without weights
+
+    with pytest.raises(NotImplementedError, match="rec_weight"):
+        train.main(COMMON + ["arch=feature-pyramid", "model_type=resnet50",
+                             "rec_weight=0.5", f"output_root={tmp_path}"])

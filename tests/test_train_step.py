@@ -86,6 +86,56 @@ def test_reset_probes_changes_only_probes():
                            np.asarray(state["params"]["cluster_probe"]["clusters"]))
 
 
+def test_fused_pair_forward_matches_unfused():
+    """fused_pair_forward stacks img/img_pos into ONE backbone pass; with
+    dropout rate 0 (the only rng the featurizer consumes — the projection
+    head's Dropout2d runs in train mode regardless of ``fcfg.dropout``,
+    mirroring reference src/modules.py:128-137) the per-sample math is
+    identical to the reference's two-forward structure, so the whole loss
+    decomposition must agree to float tolerance."""
+    fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=16,
+                            vit_config=TINY_VIT, dropout=False, drop_rate=0.0)
+    rng = np.random.default_rng(7)
+    batch = {k: jnp.asarray(v) for k, v in _batch(rng).items()}
+    key = jax.random.PRNGKey(5)
+    state = step_lib.init_state(jax.random.PRNGKey(4), fcfg, HP)
+
+    logs = {}
+    for fused in (True, False):
+        hp = step_lib.TrainHParams(n_classes=3, lr=1e-3,
+                                   fused_pair_forward=fused)
+        step = jax.jit(lambda s, b, k, h: step_lib.train_step(
+            s, b, k, fcfg, h, LCFG, 0.19, 0.03), static_argnums=(3,))
+        _, logs[fused] = step(state, batch, key, hp)
+
+    for name in ("loss/total", "loss/pos_intra", "loss/pos_inter",
+                 "loss/neg_inter", "loss/depth_feat", "loss/linear",
+                 "loss/cluster"):
+        np.testing.assert_allclose(float(logs[True][name]),
+                                   float(logs[False][name]),
+                                   rtol=2e-5, atol=2e-6, err_msg=name)
+
+
+def test_tta_code_fused_matches_two_forwards():
+    """The stacked [2B] flip-TTA forward equals the two-dispatch formulation
+    (reference eval_segmentation.py:150-152) per sample."""
+    from depthg_tpu.inference import tta_code
+    from depthg_tpu.models import featurizer as featurizer_lib
+
+    fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=16,
+                            vit_config=TINY_VIT)
+    params = featurizer_lib.featurizer_init(jax.random.PRNGKey(6), fcfg)
+    img = jnp.asarray(np.random.default_rng(8).standard_normal(
+        (4, 3, 32, 32)).astype(np.float32))
+
+    fused = tta_code(params, img, fcfg)
+    c1 = featurizer_lib.dispatch_apply(params, img, fcfg)["code"]
+    c2 = featurizer_lib.dispatch_apply(params, img[..., ::-1], fcfg)["code"]
+    np.testing.assert_allclose(np.asarray(fused),
+                               np.asarray((c1 + c2[..., ::-1]) / 2),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_cross_entropy_axis1_matches_channel_last():
     """The NCHW (class_axis=1) CE must equal the channel-last formulation and
     torch's CrossEntropyLoss semantics (ignore out-of-range labels)."""
