@@ -241,7 +241,11 @@ def main():
     # training-outcome parity with f32 shown in docs/BF16_TRAIN_STUDY.md)
     # and therefore the headline train number
     loop_bf = make_train_loop(
-        step_lib.TrainHParams(n_classes=27, backbone_dtype="bfloat16"))
+        step_lib.TrainHParams(n_classes=27, backbone_dtype="bfloat16",
+                              # the train CLI default (hparams_from_cfg) —
+                              # the dataclass default keeps the reference's
+                              # two-forward structure for parity harnesses
+                              fused_pair_forward=True))
     float(loop_bf(state, tb))
     dt_tb = (_median_time(lambda: float(loop_bf(state, tb))) - rtt) / T_ITERS
     try:

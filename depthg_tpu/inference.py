@@ -41,6 +41,11 @@ class EvalConfig:
     # make_eval_step from its mesh; steers the CRF batch strategy (a lax.map
     # over a sharded axis would serialize the whole mesh; see ops.crf)
     batch_shards: int = 1
+    # stack the flip-TTA pair into ONE [2B] backbone forward (tta_code).
+    # Same per-sample math; doubles the backbone's peak activation memory —
+    # set False to restore the sequential two-[B]-forward footprint when an
+    # eval batch is sized to fill HBM.
+    fused_tta: bool = True
 
 
 def unnormalize_255(img: jnp.ndarray) -> jnp.ndarray:
@@ -51,15 +56,25 @@ def unnormalize_255(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def tta_code(params: dict, img: jnp.ndarray, fcfg, precision=None,
-             backbone_dtype=None) -> jnp.ndarray:
+             backbone_dtype=None, fused: bool = True) -> jnp.ndarray:
     """Flip-TTA averaged projection code (reference ``eval_segmentation.py:150-152``).
 
-    The original and the flipped batch ride ONE stacked [2B] backbone forward
-    instead of two [B] dispatches: eval runs the featurizer with no dropout or
-    batch statistics, so every sample is independent and the stacked pass is
-    the same per-sample math — but it doubles the GEMM batch feeding the MXU
-    and halves the per-forward launch overhead (the two frozen forwards are
-    the dominant eval-logits cost, docs/PERFORMANCE.md)."""
+    With ``fused`` (default) the original and the flipped batch ride ONE
+    stacked [2B] backbone forward instead of two [B] dispatches: eval runs
+    the featurizer with no dropout or batch statistics, so every sample is
+    independent and the stacked pass is the same per-sample math — but it
+    doubles the GEMM batch feeding the MXU and halves the per-forward launch
+    overhead (the two frozen forwards are the dominant eval-logits cost,
+    docs/PERFORMANCE.md). It also doubles the backbone's peak activation
+    memory; ``fused=False`` (EvalConfig.fused_tta) restores the sequential
+    footprint for HBM-tight batches."""
+    if not fused:
+        c1 = featurizer_lib.dispatch_apply(params, img, fcfg, precision=precision,
+                                           backbone_dtype=backbone_dtype)["code"]
+        c2 = featurizer_lib.dispatch_apply(params, img[..., ::-1], fcfg,
+                                           precision=precision,
+                                           backbone_dtype=backbone_dtype)["code"]
+        return (c1 + c2[..., ::-1]) / 2
     b = img.shape[0]
     both = jnp.concatenate([img, img[..., ::-1]], axis=0)
     code = featurizer_lib.dispatch_apply(params, both, fcfg, precision=precision,
@@ -76,7 +91,7 @@ def eval_logits(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
     """
     bdt = None if ecfg.backbone_dtype == "float32" else ecfg.backbone_dtype
     code = tta_code(params["net"], img, fcfg, ecfg.precision,
-                    backbone_dtype=bdt).astype(jnp.float32)
+                    backbone_dtype=bdt, fused=ecfg.fused_tta).astype(jnp.float32)
     code = resize_bilinear(code, (ecfg.label_res, ecfg.label_res))
     linear_log = jax.nn.log_softmax(
         probes.linear_probe_apply(params["linear_probe"], code), axis=1)

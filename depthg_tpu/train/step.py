@@ -70,8 +70,12 @@ class TrainHParams:
     # docs/PERFORMANCE.md). Auto-disabled where semantics would change:
     # LHP attn propagation (needs the [N,N] attn of the FIRST forward only)
     # and the pyramid arch (BatchNorm batch statistics are per-forward in
-    # the reference). False = exact reference forward structure.
-    fused_pair_forward: bool = True
+    # the reference). The dataclass default stays False — with dropout
+    # enabled the fused pass draws its masks from ONE key instead of k1/k2,
+    # so harnesses constructing TrainHParams directly keep the exact
+    # reference forward structure (same convention as backbone_dtype below);
+    # the train CLI default is True (hparams_from_cfg).
+    fused_pair_forward: bool = False
     # frozen-backbone storage dtype: "bfloat16" halves the dominant cost of
     # the step (the two stop-gradient ViT forwards — measured 21.6 -> 10.8
     # ms/pass at batch 16 @224 on v5e); training outcomes match f32
@@ -244,7 +248,11 @@ def loss_fn(trainable: dict, frozen: dict, batch: dict, key: jax.Array,
     from depthg_tpu.models.pyramid import PyramidConfig
 
     fuse_pair = (hp.fused_pair_forward and hp.correspondence_weight > 0
-                 and not need_attn and not isinstance(fcfg, PyramidConfig))
+                 and not need_attn and not isinstance(fcfg, PyramidConfig)
+                 # one-sided depth can't ride the stacked pass (the concat
+                 # below would silently drop the present side's guidance);
+                 # the shipped loader always provides both or neither
+                 and (depth is None) == (depth_pos is None))
     out_pos_fused = None
     if fuse_pair:
         # one stacked [2B] frozen forward for img + img_pos (see

@@ -139,9 +139,14 @@ def main(argv=None):
 
     # decoded-image LRU (data/datasets.py): training revisits every image
     # each epoch on a single-core host — on by default HERE only; one-pass
-    # CLIs (eval/demo) leave it off unless cfg sets image_cache_mb
+    # CLIs (eval/demo) leave it off unless cfg sets image_cache_mb. Configure
+    # the cache directly rather than writing into cfg: the cfg dict is
+    # persisted into every checkpoint (save_native run_cfg) and eval loads
+    # that run_cfg — a mutated key would re-enable the cache for exactly the
+    # one-pass workload the default keeps it off for.
     if cfg.get("image_cache_mb") is None:
-        cfg.image_cache_mb = 512
+        from depthg_tpu.data.datasets import IMAGE_CACHE
+        IMAGE_CACHE.configure(512)
 
     seed = int(cfg.get("seed", 0))
     np.random.seed(seed)
