@@ -57,6 +57,7 @@ def main(argv=None):
         crf=crf_config_from_cfg(cfg),
         precision=cfg.get("matmul_precision"),
         backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
+        fused_tta=bool(cfg.get("fused_tta", True)),
     )
     predict = make_predict_step(fcfg, ecfg)
     # device-resident params: numpy trees re-transfer ~88 MB per predict call

@@ -64,6 +64,9 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
         # bf16 default: ~30% faster eval; probe-argmax agreement vs f32 and
         # mIoU deltas quantified in docs/BF16_TRAIN_STUDY.md (eval-path arm)
         backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
+        # fused_tta=false restores the sequential two-forward footprint for
+        # HBM-tight eval batches (EvalConfig.fused_tta)
+        fused_tta=bool(cfg.get("fused_tta", True)),
     )
     from depthg_tpu.parallel import mesh as mesh_lib
 

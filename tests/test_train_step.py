@@ -134,6 +134,11 @@ def test_tta_code_fused_matches_two_forwards():
     np.testing.assert_allclose(np.asarray(fused),
                                np.asarray((c1 + c2[..., ::-1]) / 2),
                                rtol=1e-5, atol=1e-5)
+    # the fused=False opt-out (EvalConfig.fused_tta) IS the two-forward
+    # formulation — exact equality, not tolerance
+    unfused = tta_code(params, img, fcfg, fused=False)
+    np.testing.assert_array_equal(np.asarray(unfused),
+                                  np.asarray((c1 + c2[..., ::-1]) / 2))
 
 
 def test_cross_entropy_axis1_matches_channel_last():
