@@ -38,6 +38,11 @@ from depthg_tpu.ops.resize import resize_bilinear
 
 @dataclasses.dataclass(frozen=True)
 class CRFConfig:
+    # 10 mean-field iterations, like the reference (src/crf.py:19). Probed
+    # (r3, fidelity-study scenes, ds=8 jbu4 sf1.8): NOT converged earlier —
+    # mIoU still climbs 67.7 -> 68.4 from iter 5 to 10 and the iter-5 argmax
+    # is only 99.1% identical to iter-10, so cutting iterations trades
+    # quality like any other operating point; it is not a free speedup.
     max_iter: int = 10
     pos_w: float = 3.0       # POS_W
     pos_xy_std: float = 1.0  # POS_XY_STD
@@ -91,6 +96,18 @@ class CRFConfig:
     # — sequential per-image peak, not batched). downsample=1 (42 GB)
     # streams tiles as before. 0 disables caching entirely.
     kernel_cache_mb: int = 2700
+    # store the cached kernel int8 (fixed scale 127: entries are
+    # exp(-d^2/2) in (0, 1]) and run each mean-field message as an
+    # int8 x int8 -> int32 MXU matmul against a per-call dynamically-scaled
+    # int8 copy of the distributions. Halves the cache's HBM read — the
+    # dominant per-iteration cost once the kernel is materialized — and
+    # doubles its footprint headroom (the sharded vmap path keeps caching
+    # at twice the batch). Quantization error <= 0.5/127 per entry (~the
+    # bf16 rounding already accepted by dtype="bfloat16"); entries below
+    # 1/254 round to zero, truncating the same far tail the reference's
+    # permutohedral lattice never represents. Opt-in pending the fidelity
+    # rerun on TPU.
+    kernel_int8: bool = False
 
 
 def crf_config_from_cfg(cfg) -> CRFConfig:
@@ -113,6 +130,7 @@ def crf_config_from_cfg(cfg) -> CRFConfig:
                                          {8: 1.8, 4: 1.41}.get(ds, 1.0))),
         dtype=str(cfg.get("crf_dtype", "bfloat16")),
         mixed_resolution=bool(cfg.get("crf_mixed_resolution", True)),
+        kernel_int8=bool(cfg.get("crf_kernel_int8", False)),
     )
 
 
@@ -315,7 +333,7 @@ def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
     bf = jnp.concatenate(feats_list, axis=0)  # [P * nc, 5]
     n_pts = p * nc
     cache = _kernel_cache_bytes(n_pts, ccfg) is not None
-    kmat = _bilateral_kernel(bf, ccfg.block, dt) if cache else None
+    kmat = _cache_kernel(bf, ccfg, dt) if cache else None
 
     # cell-blocked splat weights [P, hd, ds, wd, ds]: each transfer
     # direction is ONE fused broadcast-multiply-reduce over the phase/cell
@@ -335,7 +353,7 @@ def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
             # splat: z[p,c,i,j] = sum_{a,b} q[c,i,a,j,b] * wgt[p,i,a,j,b]
             z = jnp.sum(qc[None] * wq[:, None], axis=(3, 5))  # [P, C, hd, wd]
             z = jnp.moveaxis(z.reshape(p, c, nc), 1, 2).reshape(n_pts, c).astype(dt)
-            mc = (kmat @ z if cache
+            mc = (_cached_matmul(kmat, z, dt) if cache
                   else _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas))
             m = jnp.moveaxis(mc.reshape(p, nc, c), 2, 1).reshape(p, c, hd, wd)
             # slice: out[c,i,a,j,b] = sum_p m[p,c,i,j] * wgt[p,i,a,j,b]
@@ -404,8 +422,9 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
         n_coarse = hd * wd
         cache_kernel = _kernel_cache_bytes(n_coarse, ccfg) is not None
         if cache_kernel:
-            kmat = _bilateral_kernel(bf, ccfg.block, dt)
-            deg_bi = (kmat @ jnp.ones((n_coarse, 1), dt))[:, 0].astype(jnp.float32)
+            kmat = _cache_kernel(bf, ccfg, dt)
+            deg_bi = _cached_matmul(kmat, jnp.ones((n_coarse, 1), dt),
+                                    dt)[:, 0].astype(jnp.float32)
         else:
             ones = jnp.ones((n_coarse, 1), jnp.float32)
             deg_bi = _bilateral_message(bf, ones, ccfg.block, ccfg.use_pallas)[:, 0]
@@ -414,7 +433,7 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
         def bilateral(q_coarse):
             c = q_coarse.shape[0]
             z = (q_coarse.reshape(c, -1) * inv_sqrt_deg_bi[None].astype(dt)).T  # [Nc, C]
-            mb = (kmat @ z).T if cache_kernel else \
+            mb = _cached_matmul(kmat, z, dt).T if cache_kernel else \
                 _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas).T
             return (mb * inv_sqrt_deg_bi[None].astype(dt)).reshape(c, hd, wd)
 
@@ -480,12 +499,33 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
 
 def _kernel_cache_bytes(n_coarse: int, ccfg: CRFConfig) -> int | None:
     """Per-image bytes of a materialized kernel, or None if caching is off."""
-    itemsize = 2 if ccfg.dtype == "bfloat16" else 4
+    itemsize = 1 if ccfg.kernel_int8 else 2 if ccfg.dtype == "bfloat16" else 4
     nbytes = n_coarse * n_coarse * itemsize
     if ccfg.kernel_cache_mb > 0 and not ccfg.use_pallas \
             and nbytes <= ccfg.kernel_cache_mb * 2**20:
         return nbytes
     return None
+
+
+def _cache_kernel(bf: jnp.ndarray, ccfg: CRFConfig, dt) -> jnp.ndarray:
+    """Materialize the bilateral kernel in its cache storage dtype."""
+    if not ccfg.kernel_int8:
+        return _bilateral_kernel(bf, ccfg.block, dt)
+    # build in f32, then quantize with the FIXED scale 127 (entries live in
+    # (0, 1], diagonal exactly 1 -> 127); int32 accumulation is exact up to
+    # n = 2^31 / 127^2 ~ 133k points, far above any cacheable kernel
+    kmat = _bilateral_kernel(bf, ccfg.block, jnp.float32)
+    return jnp.round(kmat * 127.0).astype(jnp.int8)
+
+
+def _cached_matmul(kmat: jnp.ndarray, z: jnp.ndarray, dt) -> jnp.ndarray:
+    """kmat @ z in the cache's storage dtype (CRFConfig.kernel_int8)."""
+    if kmat.dtype != jnp.int8:
+        return kmat @ z
+    zmax = jnp.maximum(jnp.max(jnp.abs(z)).astype(jnp.float32), 1e-20)
+    z8 = jnp.round(z.astype(jnp.float32) * (127.0 / zmax)).astype(jnp.int8)
+    mi = jax.lax.dot(kmat, z8, preferred_element_type=jnp.int32)
+    return (mi.astype(jnp.float32) * (zmax / (127.0 * 127.0))).astype(dt)
 
 
 def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args):

@@ -142,6 +142,12 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
         ("ds=8 jbu4 sf1.8 bf16 (eval default + bench)",
          CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
                    block=block, dtype="bfloat16")),
+        # int8-quantized kernel cache at the default point: halves the
+        # dominant per-iteration HBM read (CRFConfig.kernel_int8); promoted
+        # to the default only if this row holds the default's agreement/mIoU
+        ("ds=8 jbu4 sf1.8 bf16 int8-kernel",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", kernel_int8=True)),
         # half-point-set candidates: if either retains ~the default's mIoU
         # gain, the kernel build + per-iteration matmul cost drop ~4x/2x
         ("ds=8 jbu2 sf1.8 bf16", CRFConfig(downsample=8, splat_phases=2,

@@ -223,3 +223,51 @@ def test_jbu_default_handles_odd_resolution():
     image2 = jnp.asarray(rng.uniform(0, 255, (3, 32, 32)).astype(np.float32))
     (q2,) = dense_crf_multi(image2, [logits], ccfg)
     assert q2.shape == (5, 32, 32)
+
+
+def test_int8_kernel_cache_matches_f32():
+    """CRFConfig.kernel_int8 stores the cached kernel int8 (fixed scale 127)
+    with a dynamically-scaled int8 message matmul. On both the JBU and the
+    resize-based cached paths the refined distributions must track the f32
+    cache closely (quantization error ~0.4% per entry) and must NOT change
+    the argmax on confidently-labeled pixels."""
+    import dataclasses
+
+    from depthg_tpu.ops.crf import (CRFConfig, _kernel_cache_bytes, dense_crf,
+                                    dense_crf_multi)
+
+    rng = np.random.default_rng(8)
+    image = jnp.asarray(rng.uniform(0, 255, (3, 32, 32)).astype(np.float32))
+    logits = jnp.asarray(2.0 * rng.standard_normal((5, 8, 8)).astype(np.float32))
+
+    for base in (
+        CRFConfig(downsample=4, splat_phases=2, block=32, max_iter=5),  # JBU
+        CRFConfig(downsample=2, splat_phases=0, block=32, max_iter=5),  # resize
+        CRFConfig(downsample=2, mixed_resolution=False, block=32,
+                  max_iter=5),                                          # legacy
+    ):
+        cc8 = dataclasses.replace(base, kernel_int8=True)
+        # the strategy budget must follow the 1-byte storage
+        n = (32 // base.downsample) ** 2 * max(base.splat_phases, 1)
+        assert _kernel_cache_bytes(n, cc8) == n * n
+        assert _kernel_cache_bytes(n, base) == n * n * (
+            2 if base.dtype == "bfloat16" else 4)
+        q32 = np.asarray(dense_crf(image, logits, base))
+        q8 = np.asarray(dense_crf(image, logits, cc8))
+        assert np.isfinite(q8).all()
+        # iterated softmaxes amplify the ~0.4% quantization noise at a few
+        # decision-boundary pixels; the distribution must stay close almost
+        # everywhere and the LABELS must agree
+        frac_close = (np.abs(q8 - q32) < 0.02).mean()
+        assert frac_close > 0.99, frac_close
+        np.testing.assert_allclose(q8, q32, atol=0.15)
+        agree = (q8.argmax(0) == q32.argmax(0)).mean()
+        assert agree > 0.995, agree
+
+    # multi-field path shares the quantized kernel across probes
+    lg2 = jnp.asarray(rng.standard_normal((4, 8, 8)).astype(np.float32))
+    cc = dataclasses.replace(CRFConfig(downsample=4, splat_phases=2, block=32,
+                                       max_iter=3), kernel_int8=True)
+    qa, qb = dense_crf_multi(image, [logits, lg2], cc)
+    assert qa.shape == (5, 32, 32) and qb.shape == (4, 32, 32)
+    np.testing.assert_allclose(np.asarray(qa.sum(0)), 1.0, atol=1e-3)
