@@ -37,7 +37,8 @@ class FeaturizerConfig:
     drop_rate: float = 0.1
     vit_config: "vit_lib.ViTConfig | None" = None  # override (tests / custom backbones)
     # "auto" = fused flash attention on TPU whenever the attn matrix isn't
-    # consumed (the [N,N] softmax never touches HBM); "xla" | "flash" force.
+    # consumed (the [N,N] softmax never touches HBM); "xla" | "flash" |
+    # "fused" (ops/attention.py whole-KV kernel) force a specific path.
     attention_impl: str = "auto"
 
     @property
@@ -96,23 +97,35 @@ def backbone_features(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
     trace time, outputs returned f32): the backbone is stop-gradient feature
     extraction, so this halves its HBM traffic/time (~2x measured on v5e) at
     ~1% feature deviation; keep the f32 default for parity runs.
+    ``backbone_dtype="int8"`` additionally runs every block linear as a w8a8
+    int8 MXU matmul (2x bf16 peak) — a coarser approximation (opt-in).
     """
     vcfg = fcfg.vit
     assert img.shape[2] % vcfg.patch_size == 0 and img.shape[3] % vcfg.patch_size == 0
     fh = img.shape[2] // vcfg.patch_size
     fw = img.shape[3] // vcfg.patch_size
 
+    if backbone_dtype not in (None, "float32", "bfloat16", "int8"):
+        raise ValueError(f"unknown backbone_dtype {backbone_dtype!r}; "
+                         "expected float32 | bfloat16 | int8")
     vit_params = params["vit"]
     if backbone_dtype == "bfloat16":
         vit_params = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
             vit_params)
         img = img.astype(jnp.bfloat16)
+    elif backbone_dtype == "int8":
+        # w8a8 block linears, bf16 everything else (vit.quantize_vit_params):
+        # 2x MXU peak on the matmuls that dominate the frozen forwards. Like
+        # bf16, an approximation of the f32 reference — characterized in
+        # tests/test_int8_backbone.py; opt-in, never the parity path.
+        vit_params = vit_lib.quantize_vit_params(vit_params)
+        img = img.astype(jnp.bfloat16)
     impl = vit_lib.resolve_attn_impl(fcfg.attention_impl, need_attn, precision)
     feats, attns, qkvs = vit_lib.vit_apply(vit_params, img, vcfg, n=1,
                                            precision=precision, attn_impl=impl)
     feat, attn, qkv = feats[0], attns[0], qkvs[0]
-    if backbone_dtype == "bfloat16":
+    if backbone_dtype in ("bfloat16", "int8"):
         feat = feat.astype(jnp.float32)
         qkv = qkv.astype(jnp.float32)
         if attn is not None:

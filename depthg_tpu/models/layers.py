@@ -45,7 +45,37 @@ def layer_norm_init(dim: int, dtype=jnp.float32):
     return {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
 
 
+def quantize_linear_params(params: dict) -> dict:
+    """Symmetric per-output-channel int8 weight quantization of a linear.
+
+    Returns {w_q int8 [in, out], s_w f32 [out], b f32}; ``linear`` detects
+    the ``w_q`` key and takes the w8a8 MXU path. Quantization is a pure
+    trace-time transform of the f32 params (the frozen backbone re-derives
+    it each call — ~21M weight elements, trivial next to the forwards)."""
+    w = params["w"].astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12) / 127.0
+    return {"w_q": jnp.round(w / s_w).astype(jnp.int8), "s_w": s_w,
+            "b": params["b"].astype(jnp.float32)}
+
+
+def _linear_w8a8(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """int8 x int8 -> int32 matmul (2x the MXU's bf16 peak) with dynamic
+    per-token symmetric activation quantization; accumulates and rescales in
+    f32, returns ``x.dtype``. All-zero rows (the ViT's padded tokens)
+    quantize to exactly 0."""
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+    x_q = jnp.round(xf / s_x).astype(jnp.int8)
+    y = jax.lax.dot_general(x_q, params["w_q"],
+                            (((x_q.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (s_x * params["s_w"])
+            + params["b"]).astype(x.dtype)
+
+
 def linear(params, x):
+    if "w_q" in params:
+        return _linear_w8a8(params, x)
     return x @ params["w"] + params["b"]
 
 

@@ -398,6 +398,11 @@ def pyramid_init(key: jax.Array, cfg: PyramidConfig, dtype=jnp.float32) -> dict:
 def _pyramid_forward(params: dict, backbone: dict, x: jnp.ndarray,
                      cfg: PyramidConfig, train: bool,
                      backbone_dtype: str | None = None):
+    if backbone_dtype == "int8":
+        raise NotImplementedError(
+            "backbone_dtype='int8' is ViT-only (models/vit.py "
+            "quantize_vit_params); the ResNet pyramid backbone supports "
+            "float32 | bfloat16")
     if backbone_dtype == "bfloat16":
         # same mechanism as the ViT featurizer (featurizer.backbone_features):
         # the frozen ResNet is stop-gradient feature extraction, so bf16

@@ -122,6 +122,34 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, npatch: int, w: int, h: int
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 
+def quantize_vit_params(params: dict) -> dict:
+    """int8 (w8a8) backbone tree: every block linear (qkv/proj/fc1/fc2 — all
+    the MXU flops) becomes a ``quantize_linear_params`` dict; everything else
+    (embeddings, layer norms, final norm) is cast to bf16. The attention
+    softmax and the GELU stay bf16 — only the matmuls run int8, at 2x the
+    MXU's bf16 peak (v5e: 394 vs 197 TFLOP/s)."""
+    from depthg_tpu.models.layers import quantize_linear_params
+
+    def bf16(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
+
+    out = {k: bf16(v) for k, v in params.items() if k != "blocks"}
+    out["blocks"] = [
+        {"norm1": bf16(blk["norm1"]), "norm2": bf16(blk["norm2"]),
+         "qkv": quantize_linear_params(blk["qkv"]),
+         "proj": quantize_linear_params(blk["proj"]),
+         "fc1": quantize_linear_params(blk["fc1"]),
+         "fc2": quantize_linear_params(blk["fc2"])}
+        for blk in params["blocks"]]
+    return out
+
+
+def _whole_kv_ok(n: int) -> bool:
+    from depthg_tpu.ops.attention import whole_kv_seq_ok
+    return whole_kv_seq_ok(n)
+
+
 def _flash_seq_ok(n: int) -> bool:
     """Whether ``_flash_mha``'s blocking scheme fits VMEM at this sequence
     length. The kernel keeps the whole KV resident (block_k = seq), so the
@@ -178,7 +206,11 @@ def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla",
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, h, N, hd]
     q, k, v = qkv[0], qkv[1], qkv[2]
     scale = hd ** -0.5
-    if impl == "flash" and _flash_seq_ok(n):
+    if impl == "fused" and _whole_kv_ok(n):
+        from depthg_tpu.ops.attention import whole_kv_mha
+        out = whole_kv_mha(q, k, v, scale, n_valid)
+        attn = None  # fused kernels never materialize the attention matrix
+    elif impl in ("flash", "fused") and _flash_seq_ok(n):
         out = _flash_mha(q, k, v, scale, n_valid)
         attn = None  # flash never materializes the attention matrix
     else:
@@ -220,9 +252,9 @@ def resolve_attn_impl(impl: str, need_attn: bool, precision: str | None) -> str:
     cannot return attn maps, so callers that need them (LHP attn propagation,
     golden tests) keep the einsum path."""
     if impl != "auto":
-        if impl == "flash" and need_attn:
+        if impl in ("flash", "fused") and need_attn:
             raise ValueError(
-                "attention_impl='flash' cannot return attention maps, but "
+                f"attention_impl='{impl}' cannot return attention maps, but "
                 "this configuration consumes them (LHP attn propagation) — "
                 "use 'auto' or 'xla'")
         return impl
@@ -241,13 +273,14 @@ def vit_apply(params: dict, x: jnp.ndarray, cfg: ViTConfig, n: int = 1,
 
     ``precision``: None = MXU default (bf16 inputs, f32 accumulate) for speed;
     "float32" for bit-parity with the torch reference.
-    ``attn_impl``: "xla" | "flash" (attn entries are None under flash).
+    ``attn_impl``: "xla" | "flash" | "fused" (attn entries are None under
+    the fused kernels; "fused" = ops/attention.py's whole-KV softmax).
     """
     with matmul_precision(precision):
         x = prepare_tokens(params, x, cfg)
         n_tok = x.shape[1]
         n_valid = None
-        if attn_impl == "flash" and n_tok % 128:
+        if attn_impl in ("flash", "fused") and n_tok % 128:
             # pad the token axis ONCE for the whole stack instead of
             # pad/unpad around every flash call (~1 ms/pass of pure copies
             # at eval shapes). Padded tokens carry zeros; the flash segment

@@ -23,7 +23,10 @@ study. Run on the real TPU (this is a numerics study — CPU would miss MXU
 behavior):
 
     python scripts/backbone_dtype_study.py [--seeds 3] [--steps 300]
-        [--out docs/BF16_TRAIN_STUDY.md]
+        [--out docs/BF16_TRAIN_STUDY.md] [--arms float32,bfloat16,int8]
+
+``--arms`` selects the backbone_dtype arms (default f32 vs bf16; add
+``int8`` to study the w8a8 quantized backbone the same way).
 """
 
 import argparse
@@ -68,7 +71,7 @@ def make_dataset(n, size, n_classes, seed, noise=8.0):
 
 
 def run_one(backbone_dtype, seed, steps, chunk, batch, res, n_train, n_val,
-            n_classes=6):
+            n_classes=6, eval_arms=("float32", "bfloat16")):
     import jax
     import jax.numpy as jnp
 
@@ -163,7 +166,8 @@ def run_one(backbone_dtype, seed, steps, chunk, batch, res, n_train, n_val,
         return lin, jnp.argmax(cp, 1)
 
     eval_dtype = {}
-    for arm in ("float32", "bfloat16"):
+    preds_by_arm = {}
+    for arm in eval_arms:
         lm = SegMetrics("linear/", n_classes, 0, False)
         cm = SegMetrics("cluster/", n_classes, 0, True)
         preds_acc = []
@@ -176,14 +180,16 @@ def run_one(backbone_dtype, seed, steps, chunk, batch, res, n_train, n_val,
                                           n_classes, hp.extra_clusters))
             preds_acc.append((np.asarray(lin), np.asarray(clu)))
         eval_dtype[arm] = {**lm.compute(), **cm.compute()}
-        eval_dtype[f"{arm}_preds"] = preds_acc
-    lin_agree = np.mean([(a[0] == b[0]).mean() for a, b in zip(
-        eval_dtype["float32_preds"], eval_dtype["bfloat16_preds"])])
-    clu_agree = np.mean([(a[1] == b[1]).mean() for a, b in zip(
-        eval_dtype["float32_preds"], eval_dtype["bfloat16_preds"])])
-    eval_dtype["lin_agree"] = float(lin_agree)
-    eval_dtype["clu_agree"] = float(clu_agree)
-    del eval_dtype["float32_preds"], eval_dtype["bfloat16_preds"]
+        preds_by_arm[arm] = preds_acc
+    for arm in eval_arms:
+        if arm == "float32":
+            continue
+        eval_dtype[f"{arm}_lin_agree"] = float(np.mean(
+            [(a[0] == b[0]).mean() for a, b in
+             zip(preds_by_arm["float32"], preds_by_arm[arm])]))
+        eval_dtype[f"{arm}_clu_agree"] = float(np.mean(
+            [(a[1] == b[1]).mean() for a, b in
+             zip(preds_by_arm["float32"], preds_by_arm[arm])]))
     return losses, metrics, train_s, eval_dtype
 
 
@@ -197,18 +203,24 @@ def main(argv=None):
     ap.add_argument("--n-train", type=int, default=96)
     ap.add_argument("--n-val", type=int, default=32)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--arms", default="float32,bfloat16",
+                    help="comma-separated backbone_dtype arms to train AND "
+                         "eval (e.g. float32,bfloat16,int8)")
     args = ap.parse_args(argv)
+    arms = tuple(args.arms.split(","))
+    if "float32" not in arms:
+        arms = ("float32",) + arms  # the agreement baseline
 
     import jax
 
     rows = []
     curves = {}
     eval_rows = []
-    for dtype in ("float32", "bfloat16"):
+    for dtype in arms:
         for seed in range(args.seeds):
             losses, metrics, train_s, eval_dtype = run_one(
                 dtype, seed, args.steps, args.chunk, args.batch, args.res,
-                args.n_train, args.n_val)
+                args.n_train, args.n_val, eval_arms=arms)
             rows.append({"dtype": dtype, "seed": seed,
                          "lin_miou": metrics["linear/mIoU"],
                          "lin_acc": metrics["linear/Accuracy"],
@@ -217,12 +229,10 @@ def main(argv=None):
                          "final_loss": float(losses[-args.chunk:].mean()),
                          "train_s": train_s})
             eval_rows.append({"dtype": dtype, "seed": seed, **{
-                f"{arm[:3]}_{k.split('/')[0][:3]}_{k.split('/')[1][:4]}":
-                    eval_dtype[arm][k]
-                for arm in ("float32", "bfloat16")
-                for k in ("linear/mIoU", "cluster/mIoU")},
-                "lin_agree": eval_dtype["lin_agree"],
-                "clu_agree": eval_dtype["clu_agree"]})
+                f"{arm}_{k.split('/')[0]}": eval_dtype[arm][k]
+                for arm in arms for k in ("linear/mIoU", "cluster/mIoU")}, **{
+                f"{arm}_{p}_agree": eval_dtype[f"{arm}_{p}_agree"]
+                for arm in arms if arm != "float32" for p in ("lin", "clu")}})
             curves[(dtype, seed)] = losses.reshape(-1, args.chunk).mean(1)
             print(f"{dtype} seed {seed}: lin mIoU {metrics['linear/mIoU']:.2f} "
                   f"Acc {metrics['linear/Accuracy']:.2f} | clu mIoU "
@@ -231,7 +241,8 @@ def main(argv=None):
                   f"{rows[-1]['final_loss']:.4f} | {train_s:.0f}s")
 
     lines = [
-        "# Backbone dtype training-quality study (f32 vs bf16 frozen ViT)",
+        f"# Backbone dtype training-quality study ({' vs '.join(arms)} "
+        "frozen ViT)",
         "",
         f"Generated by `scripts/backbone_dtype_study.py` on "
         f"`{jax.devices()[0].platform}` — {args.seeds} seeds x "
@@ -254,39 +265,50 @@ def main(argv=None):
     for metric, label in (("lin_miou", "linear mIoU"), ("lin_acc", "linear Acc"),
                           ("clu_miou", "cluster mIoU"), ("clu_acc", "cluster Acc")):
         f32 = np.array([r[metric] for r in rows if r["dtype"] == "float32"])
-        b16 = np.array([r[metric] for r in rows if r["dtype"] == "bfloat16"])
-        lines.append(f"* {label}: f32 {f32.mean():.2f}±{f32.std():.2f}, "
-                     f"bf16 {b16.mean():.2f}±{b16.std():.2f}, "
-                     f"delta {b16.mean() - f32.mean():+.2f}")
+        parts = [f"f32 {f32.mean():.2f}±{f32.std():.2f}"]
+        for arm in arms:
+            if arm == "float32":
+                continue
+            a = np.array([r[metric] for r in rows if r["dtype"] == arm])
+            parts.append(f"{arm} {a.mean():.2f}±{a.std():.2f} "
+                         f"(delta {a.mean() - f32.mean():+.2f})")
+        lines.append(f"* {label}: " + ", ".join(parts))
     lines += [
         "",
-        "## Eval-path dtype (same trained weights, f32 vs bf16 forward)",
+        "## Eval-path dtype (same trained weights, per-arm forward)",
         "",
         "Per trained model: full-resolution probe-argmax agreement between "
-        "an f32-backbone and a bf16-backbone eval forward, and the mIoU "
-        "each arm yields — the deviation the eval CLI's bf16 default costs "
-        "at inference time.",
+        "the f32-backbone eval forward and each reduced-precision arm, and "
+        "the mIoU each arm yields — the deviation the eval CLI's non-f32 "
+        "default costs at inference time.",
         "",
-        "| train dtype | seed | lin agree | clu agree | lin mIoU f32->bf16 "
-        "| clu mIoU f32->bf16 |",
-        "|---|---|---|---|---|---|",
+        "| train dtype | seed | arm | lin agree | clu agree | lin mIoU "
+        "f32->arm | clu mIoU f32->arm |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in eval_rows:
-        lines.append(
-            f"| {r['dtype']} | {r['seed']} | {r['lin_agree']:.4f} | "
-            f"{r['clu_agree']:.4f} | {r['flo_lin_mIoU']:.2f} -> "
-            f"{r['bfl_lin_mIoU']:.2f} | {r['flo_clu_mIoU']:.2f} -> "
-            f"{r['bfl_clu_mIoU']:.2f} |")
-    la = np.array([r["lin_agree"] for r in eval_rows])
-    ca = np.array([r["clu_agree"] for r in eval_rows])
-    dl = np.array([r["bfl_lin_mIoU"] - r["flo_lin_mIoU"] for r in eval_rows])
-    dc = np.array([r["bfl_clu_mIoU"] - r["flo_clu_mIoU"] for r in eval_rows])
-    lines += ["",
-              f"* agreement: linear {la.mean():.4f}±{la.std():.4f}, "
-              f"cluster {ca.mean():.4f}±{ca.std():.4f}",
-              f"* eval-dtype mIoU delta (bf16 - f32): linear "
-              f"{dl.mean():+.2f}±{dl.std():.2f}, cluster "
-              f"{dc.mean():+.2f}±{dc.std():.2f}"]
+        for arm in arms:
+            if arm == "float32":
+                continue
+            lines.append(
+                f"| {r['dtype']} | {r['seed']} | {arm} | "
+                f"{r[f'{arm}_lin_agree']:.4f} | {r[f'{arm}_clu_agree']:.4f} | "
+                f"{r['float32_linear']:.2f} -> {r[f'{arm}_linear']:.2f} | "
+                f"{r['float32_cluster']:.2f} -> {r[f'{arm}_cluster']:.2f} |")
+    lines.append("")
+    for arm in arms:
+        if arm == "float32":
+            continue
+        la = np.array([r[f"{arm}_lin_agree"] for r in eval_rows])
+        ca = np.array([r[f"{arm}_clu_agree"] for r in eval_rows])
+        dl = np.array([r[f"{arm}_linear"] - r["float32_linear"]
+                       for r in eval_rows])
+        dc = np.array([r[f"{arm}_cluster"] - r["float32_cluster"]
+                       for r in eval_rows])
+        lines += [f"* {arm}: agreement linear {la.mean():.4f}±{la.std():.4f}, "
+                  f"cluster {ca.mean():.4f}±{ca.std():.4f}; eval-dtype mIoU "
+                  f"delta linear {dl.mean():+.2f}±{dl.std():.2f}, cluster "
+                  f"{dc.mean():+.2f}±{dc.std():.2f}"]
     lines += ["", "Loss curves (mean total loss per "
               f"{args.chunk}-step window):", "", "```"]
     for (dtype, seed), c in curves.items():

@@ -1,0 +1,105 @@
+"""Whole-KV fused attention kernel vs the plain XLA softmax-attention.
+
+Runs the Pallas kernel in interpret mode (CPU backend); the math must match
+the reference formulation bit-for-bit up to f32 reduction order. Contract
+under test = ``ops/attention.py`` docstring: masked keys get probability
+exactly 0 and padded query rows emit exactly 0.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from depthg_tpu.ops.attention import (_pick_block_q, whole_kv_mha,
+                                      whole_kv_seq_ok)
+
+
+def _xla_attn(q, k, v, scale, n_valid):
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    keep = jnp.arange(s.shape[-1]) < n_valid
+    s = jnp.where(keep[None, None, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v.astype(jnp.float32))
+
+
+def _qkv(b, h, n, hd, n_valid, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, n, hd)),
+                             dtype
+                             ).at[:, :, n_valid:].set(0.0)
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("n,n_valid", [(256, 256), (256, 201), (384, 385 - 128)])
+def test_matches_xla_attention(n, n_valid):
+    q, k, v = _qkv(2, 3, n, 64, n_valid)
+    out = whole_kv_mha(q, k, v, 0.125, n_valid=n_valid, interpret=True)
+    ref = _xla_attn(q, k, v, 0.125, n_valid)
+    np.testing.assert_allclose(np.asarray(out[:, :, :n_valid]),
+                               np.asarray(ref[:, :, :n_valid]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_padded_rows_exact_zero():
+    q, k, v = _qkv(1, 2, 256, 64, n_valid=130, seed=1)
+    out = whole_kv_mha(q, k, v, 0.125, n_valid=130, interpret=True)
+    assert np.all(np.asarray(out[:, :, 130:]) == 0.0)
+
+
+def test_blocked_q_matches_single_block():
+    q, k, v = _qkv(1, 2, 384, 64, n_valid=384, seed=2)
+    whole = whole_kv_mha(q, k, v, 0.2, block_q=384, interpret=True)
+    blocked = whole_kv_mha(q, k, v, 0.2, block_q=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(whole),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_inputs_close_to_f32_reference():
+    q, k, v = _qkv(1, 2, 256, 64, n_valid=256, seed=3, dtype=jnp.bfloat16)
+    out = whole_kv_mha(q, k, v, 0.125, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _xla_attn(q, k, v, 0.125, 256)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_block_q_picker_divides_and_fits():
+    for npad in (128, 896, 1664, 4096):
+        bq = _pick_block_q(npad)
+        assert npad % bq == 0 and bq % 8 == 0
+        assert 2 * 4 * bq * npad <= 8 * 2 ** 20 or bq == 8
+    assert whole_kv_seq_ok(1601) and whole_kv_seq_ok(785)
+    assert not whole_kv_seq_ok(200_000)
+
+
+def test_vit_forward_fused_matches_xla(monkeypatch):
+    """End-to-end ViT stack with attn_impl='fused' == 'xla' (interpret mode;
+    exercises the whole-stack padding + n_valid plumbing in vit_apply)."""
+    from jax.experimental import pallas as pl
+    import depthg_tpu.ops.attention as att
+    from depthg_tpu.models import vit as vit_lib
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(att.pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    cfg = vit_lib.ViTConfig(embed_dim=64, depth=2, num_heads=2, patch_size=8)
+    params = vit_lib.vit_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 3, 40, 40)),
+                    jnp.float32)
+    f_x, _, _ = vit_lib.vit_apply(params, x, cfg, attn_impl="xla")
+    f_f, a_f, _ = vit_lib.vit_apply(params, x, cfg, attn_impl="fused")
+    assert a_f[0] is None
+    np.testing.assert_allclose(np.asarray(f_f[0]), np.asarray(f_x[0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_rejects_bad_shapes():
+    q, k, v = _qkv(1, 1, 256, 64, 256)
+    with pytest.raises(ValueError):
+        whole_kv_mha(q[:, :, :200], k[:, :, :200], v[:, :, :200], 1.0,
+                     interpret=True)
+    with pytest.raises(ValueError):
+        whole_kv_mha(q, k, v, 1.0, block_q=100, interpret=True)
