@@ -201,16 +201,23 @@ def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla",
                n_valid: int | None = None):
     b, n, d = x.shape
     hd = d // cfg.num_heads
-    qkv = linear(p["qkv"], x)  # [B, N, 3D]
-    qkv = qkv.reshape(b, n, 3, cfg.num_heads, hd)
-    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, h, N, hd]
-    q, k, v = qkv[0], qkv[1], qkv[2]
+    qkv_flat = linear(p["qkv"], x)  # [B, N, 3D]
     scale = hd ** -0.5
     if impl == "fused" and _whole_kv_ok(n):
-        from depthg_tpu.ops.attention import whole_kv_mha
-        out = whole_kv_mha(q, k, v, scale, n_valid)
-        attn = None  # fused kernels never materialize the attention matrix
-    elif impl in ("flash", "fused") and _flash_seq_ok(n):
+        from depthg_tpu.ops.attention import whole_kv_mha_qkv
+        # the kernel slices per-head q/k/v straight out of the packed qkv
+        # and writes token-major [B, N, D]: neither relayout below ever
+        # materializes. The 5D qkv is still built for the return contract,
+        # but XLA dead-code-eliminates it in every block whose qkv the
+        # caller doesn't collect (vit_apply keeps only the last n).
+        out_flat = whole_kv_mha_qkv(qkv_flat, cfg.num_heads, scale, n_valid)
+        qkv = jnp.transpose(qkv_flat.reshape(b, n, 3, cfg.num_heads, hd),
+                            (2, 0, 3, 1, 4))
+        return linear(p["proj"], out_flat), None, qkv
+    qkv = qkv_flat.reshape(b, n, 3, cfg.num_heads, hd)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, h, N, hd]
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    if impl in ("flash", "fused") and _flash_seq_ok(n):
         out = _flash_mha(q, k, v, scale, n_valid)
         attn = None  # flash never materializes the attention matrix
     else:

@@ -80,6 +80,74 @@ def whole_kv_seq_ok(n: int) -> bool:
     return 2 * 4 * 8 * npad <= _VMEM_LOGITS_BUDGET
 
 
+def _whole_kv_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         n_valid: int, out_dtype):
+    """Same math as ``_whole_kv_kernel`` over rank-3 [1, rows, hd] blocks
+    sliced straight out of the packed [B, N, 3D] qkv tensor."""
+    q = q_ref[0].astype(jnp.float32) * scale             # [bq, hd]
+    k = k_ref[0]                                         # [n, hd]
+    s = jax.lax.dot_general(q.astype(k.dtype), k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, n]
+    if n_valid < s.shape[1]:
+        keep = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < n_valid
+        s = jnp.where(keep, s, -1e30)
+    e = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+    l = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+    o = jax.lax.dot_general(e.astype(v_ref.dtype), v_ref[0],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o = o / l
+    if n_valid < s.shape[1]:
+        row = (pl.program_id(2) * s.shape[0]
+               + jax.lax.broadcasted_iota(jnp.int32, o.shape, 0))
+        o = jnp.where(row < n_valid, o, 0.0)
+    o_ref[0] = o.astype(out_dtype)
+
+
+def whole_kv_mha_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
+                     n_valid: int | None = None, block_q: int | None = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Whole-KV attention straight from the packed qkv projection.
+
+    ``qkv``: [B, N, 3D] — the raw output of the ViT's fused qkv linear,
+    whose last axis factors as (3, heads, head_dim) — and returns the
+    attention output already in [B, N, D] token-major layout. Compared to
+    ``whole_kv_mha`` this skips BOTH the [B,N,3D] -> [3,B,h,N,hd] operand
+    relayout and the [B,h,N,hd] -> [B,N,D] output relayout (real HBM copies
+    when they feed/come from a Pallas kernel: ~0.2 ms/layer at the eval
+    shape) — the per-head slices become strided DMA block fetches instead.
+    Semantics identical to ``whole_kv_mha`` (padded keys weight exactly 0,
+    padded query rows exactly 0).
+    """
+    b, n, d3 = qkv.shape
+    if d3 % (3 * num_heads):
+        raise ValueError(f"qkv last dim {d3} not divisible by 3*{num_heads}")
+    hd = d3 // (3 * num_heads)
+    if n % 128:
+        raise ValueError(f"whole_kv_mha_qkv needs a lane-multiple sequence, got {n}")
+    nv = int(n if n_valid is None else n_valid)
+    bq = block_q or _pick_block_q(n)
+    if n % bq:
+        raise ValueError(f"block_q={bq} must divide N={n}")
+    kernel = functools.partial(_whole_kv_qkv_kernel, scale=float(scale),
+                               n_valid=nv, out_dtype=qkv.dtype)
+    nh = num_heads
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, nh * hd), qkv.dtype),
+        grid=(b, nh, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda i, j, qb: (i, qb, j)),
+            pl.BlockSpec((1, n, hd), lambda i, j, qb, nh=nh: (i, 0, nh + j)),
+            pl.BlockSpec((1, n, hd), lambda i, j, qb, nh=nh: (i, 0, 2 * nh + j)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda i, j, qb: (i, qb, j)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
 def whole_kv_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                  n_valid: int | None = None, block_q: int | None = None,
                  interpret: bool = False) -> jnp.ndarray:

@@ -74,6 +74,25 @@ def test_block_q_picker_divides_and_fits():
     assert not whole_kv_seq_ok(200_000)
 
 
+@pytest.mark.parametrize("n_valid", [384, 260])
+def test_qkv_packed_matches_split(n_valid):
+    """whole_kv_mha_qkv over the packed [B, N, 3D] layout == whole_kv_mha
+    over the split/transposed operands (same blocks, same math)."""
+    from depthg_tpu.ops.attention import whole_kv_mha_qkv
+
+    b, nh, n, hd = 2, 3, 384, 32
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * nh * hd)), jnp.float32)
+    qkv = qkv.at[:, n_valid:].set(0.0)
+    out = whole_kv_mha_qkv(qkv, nh, 0.125, n_valid=n_valid, interpret=True)
+    assert out.shape == (b, n, nh * hd)
+    q, k, v = jnp.transpose(qkv.reshape(b, n, 3, nh, hd), (2, 0, 3, 1, 4))
+    ref = whole_kv_mha(q, k, v, 0.125, n_valid=n_valid, interpret=True)
+    ref = jnp.transpose(ref, (0, 2, 1, 3)).reshape(b, n, nh * hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_vit_forward_fused_matches_xla(monkeypatch):
     """End-to-end ViT stack with attn_impl='fused' == 'xla' (interpret mode;
     exercises the whole-stack padding + n_valid plumbing in vit_apply)."""
