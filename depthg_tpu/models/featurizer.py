@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from depthg_tpu.models import vit as vit_lib
-from depthg_tpu.models.layers import conv1x1, conv1x1_init, dropout2d
+from depthg_tpu.models.layers import (cast_tree_bf16, conv1x1, conv1x1_init,
+                                      dropout2d)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,9 +111,7 @@ def backbone_features(params: dict, img: jnp.ndarray, fcfg: FeaturizerConfig,
                          "expected float32 | bfloat16 | int8")
     vit_params = params["vit"]
     if backbone_dtype == "bfloat16":
-        vit_params = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-            vit_params)
+        vit_params = cast_tree_bf16(vit_params)
         img = img.astype(jnp.bfloat16)
     elif backbone_dtype == "int8":
         # w8a8 block linears, bf16 everything else (vit.quantize_vit_params):

@@ -45,6 +45,14 @@ def layer_norm_init(dim: int, dtype=jnp.float32):
     return {"g": jnp.ones((dim,), dtype), "b": jnp.zeros((dim,), dtype)}
 
 
+def cast_tree_bf16(tree):
+    """Cast every f32 leaf to bf16 — the frozen-backbone reduced-precision
+    cast shared by the ViT, depth-ViT and pyramid backbones."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        tree)
+
+
 def quantize_linear_params(params: dict) -> dict:
     """Symmetric per-output-channel int8 weight quantization of a linear.
 

@@ -408,9 +408,8 @@ def _pyramid_forward(params: dict, backbone: dict, x: jnp.ndarray,
         # the frozen ResNet is stop-gradient feature extraction, so bf16
         # params+input halve its HBM traffic; features return f32 so the
         # trainable head/losses keep full precision
-        backbone = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-            backbone)
+        from depthg_tpu.models.layers import cast_tree_bf16
+        backbone = cast_tree_bf16(backbone)
         feats = resnet50_activations(backbone, x.astype(jnp.bfloat16),
                                      cfg.layer_nums)
         feats = {k: v.astype(jnp.float32) for k, v in feats.items()}

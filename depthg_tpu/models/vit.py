@@ -128,11 +128,8 @@ def quantize_vit_params(params: dict) -> dict:
     (embeddings, layer norms, final norm) is cast to bf16. The attention
     softmax and the GELU stay bf16 — only the matmuls run int8, at 2x the
     MXU's bf16 peak (v5e: 394 vs 197 TFLOP/s)."""
+    from depthg_tpu.models.layers import cast_tree_bf16 as bf16
     from depthg_tpu.models.layers import quantize_linear_params
-
-    def bf16(t):
-        return jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
 
     out = {k: bf16(v) for k, v in params.items() if k != "blocks"}
     out["blocks"] = [
@@ -145,9 +142,9 @@ def quantize_vit_params(params: dict) -> dict:
     return out
 
 
-def _whole_kv_ok(n: int) -> bool:
+def _whole_kv_ok(n: int, head_dim: int) -> bool:
     from depthg_tpu.ops.attention import whole_kv_seq_ok
-    return whole_kv_seq_ok(n)
+    return whole_kv_seq_ok(n, head_dim)
 
 
 def _flash_seq_ok(n: int) -> bool:
@@ -203,16 +200,27 @@ def _attention(p: dict, x: jnp.ndarray, cfg: ViTConfig, impl: str = "xla",
     hd = d // cfg.num_heads
     qkv_flat = linear(p["qkv"], x)  # [B, N, 3D]
     scale = hd ** -0.5
-    if impl == "fused" and _whole_kv_ok(n):
-        from depthg_tpu.ops.attention import whole_kv_mha_qkv
-        # the kernel slices per-head q/k/v straight out of the packed qkv
-        # and writes token-major [B, N, D]: neither relayout below ever
-        # materializes. The 5D qkv is still built for the return contract,
-        # but XLA dead-code-eliminates it in every block whose qkv the
-        # caller doesn't collect (vit_apply keeps only the last n).
-        out_flat = whole_kv_mha_qkv(qkv_flat, cfg.num_heads, scale, n_valid)
+    if impl == "fused" and n % 128 == 0 and _whole_kv_ok(n, hd):
+        # (non-lane-multiple sequences — callers that skip vit_apply's
+        # once-per-stack padding, e.g. the MiDaS tap path — fall through to
+        # flash, which pads internally)
+        from depthg_tpu.ops.attention import (qkv_packed_ok, whole_kv_mha,
+                                              whole_kv_mha_qkv)
+        # The 5D qkv below is built only for the return contract; XLA
+        # dead-code-eliminates it in every block whose qkv the caller
+        # doesn't collect (vit_apply keeps only the last n).
         qkv = jnp.transpose(qkv_flat.reshape(b, n, 3, cfg.num_heads, hd),
                             (2, 0, 3, 1, 4))
+        if qkv_packed_ok(cfg.num_heads, d):
+            # head-pair blocks sliced straight out of the packed qkv,
+            # output written token-major [B, N, D]: neither per-layer
+            # relayout ever materializes on this path
+            out_flat = whole_kv_mha_qkv(qkv_flat, cfg.num_heads, scale,
+                                        n_valid)
+        else:  # e.g. vit_tiny (3 heads, D=192): split operands, full-dim
+            # head_dim minor blocks are always tile-legal
+            out = whole_kv_mha(qkv[0], qkv[1], qkv[2], scale, n_valid)
+            out_flat = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, d)
         return linear(p["proj"], out_flat), None, qkv
     qkv = qkv_flat.reshape(b, n, 3, cfg.num_heads, hd)
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # [3, B, h, N, hd]

@@ -1,4 +1,4 @@
-"""Training-quality study: f32 vs bf16 frozen backbone.
+"""Training-quality study across frozen-backbone dtypes (f32/bf16/int8).
 
 The frozen ViT's two stop-gradient forwards are the dominant train-step cost
 (docs/PERFORMANCE.md). Storing/running the frozen backbone in bfloat16 cuts
@@ -9,8 +9,8 @@ deviate ~1%.
 This script runs the full depth-guided training objective (paper recipe of
 ``paper_reproduction.sh:4``: fps sampling, feature_samples 11, neg 5,
 depth-feat correlation) on a synthetic 6-class color/depth dataset where
-color and depth are class-informative, for N seeds x {float32, bfloat16}
-backbone, same data and batch schedule per seed, and reports:
+color and depth are class-informative, for N seeds x each ``--arms``
+backbone dtype, same data and batch schedule per seed, and reports:
 
 * the loss curve (mean total loss per 30-step window),
 * final held-out linear-probe and cluster-probe mIoU / Accuracy

@@ -74,18 +74,23 @@ def test_block_q_picker_divides_and_fits():
     assert not whole_kv_seq_ok(200_000)
 
 
-@pytest.mark.parametrize("n_valid", [384, 260])
-def test_qkv_packed_matches_split(n_valid):
-    """whole_kv_mha_qkv over the packed [B, N, 3D] layout == whole_kv_mha
-    over the split/transposed operands (same blocks, same math)."""
+@pytest.mark.parametrize("n_valid,block_q", [(384, None), (260, None),
+                                             (260, 128)])
+def test_qkv_packed_matches_split(n_valid, block_q):
+    """whole_kv_mha_qkv over the packed [B, N, 3D] layout (head-pair
+    blocks) == whole_kv_mha over the split/transposed operands, including
+    with MULTIPLE q blocks so the global padded-row offset arithmetic
+    (program_id * bq) is exercised, not just the single-block case."""
     from depthg_tpu.ops.attention import whole_kv_mha_qkv
 
-    b, nh, n, hd = 2, 3, 384, 32
+    b, nh, n, hd = 2, 2, 384, 64
     rng = np.random.default_rng(7)
     qkv = jnp.asarray(rng.standard_normal((b, n, 3 * nh * hd)), jnp.float32)
     qkv = qkv.at[:, n_valid:].set(0.0)
-    out = whole_kv_mha_qkv(qkv, nh, 0.125, n_valid=n_valid, interpret=True)
+    out = whole_kv_mha_qkv(qkv, nh, 0.125, n_valid=n_valid,
+                           block_q=block_q, interpret=True)
     assert out.shape == (b, n, nh * hd)
+    assert np.all(np.asarray(out[:, n_valid:]) == 0.0)
     q, k, v = jnp.transpose(qkv.reshape(b, n, 3, nh, hd), (2, 0, 3, 1, 4))
     ref = whole_kv_mha(q, k, v, 0.125, n_valid=n_valid, interpret=True)
     ref = jnp.transpose(ref, (0, 2, 1, 3)).reshape(b, n, nh * hd)
@@ -93,9 +98,38 @@ def test_qkv_packed_matches_split(n_valid):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_vit_forward_fused_matches_xla(monkeypatch):
+def test_qkv_packed_rejects_unpairable_heads():
+    from depthg_tpu.ops.attention import qkv_packed_ok, whole_kv_mha_qkv
+
+    assert qkv_packed_ok(6, 384) and qkv_packed_ok(12, 768)
+    assert not qkv_packed_ok(3, 192)  # vit_tiny: odd heads, D % 128 != 0
+    assert not qkv_packed_ok(2, 64)   # head_dim 32
+    qkv = jnp.zeros((1, 128, 3 * 192), jnp.float32)
+    with pytest.raises(ValueError, match="qkv_packed_ok"):
+        whole_kv_mha_qkv(qkv, 3, 1.0, interpret=True)
+
+
+def test_padded_rows_zero_across_multiple_q_blocks():
+    """Regression for the global row-offset arithmetic: with block_q=128 and
+    n_valid=260, block 2 is mixed (rows 256..259 valid, 260.. padded) and
+    block 0/1 fully valid — a dropped program_id term or a wrong shape in
+    the row iota would corrupt exactly these."""
+    q, k, v = _qkv(1, 2, 384, 64, n_valid=260, seed=5)
+    out = whole_kv_mha(q, k, v, 0.125, n_valid=260, block_q=128,
+                       interpret=True)
+    assert np.all(np.asarray(out[:, :, 260:]) == 0.0)
+    ref = _xla_attn(q, k, v, 0.125, 260)
+    np.testing.assert_allclose(np.asarray(out[:, :, :260]),
+                               np.asarray(ref[:, :, :260]),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("dim,heads", [(64, 2),   # hd=32: split-operand path
+                                       (128, 2)])  # hd=64, D%128==0: packed
+def test_vit_forward_fused_matches_xla(monkeypatch, dim, heads):
     """End-to-end ViT stack with attn_impl='fused' == 'xla' (interpret mode;
-    exercises the whole-stack padding + n_valid plumbing in vit_apply)."""
+    exercises the whole-stack padding + n_valid plumbing in vit_apply, on
+    both the qkv-packed and the split-operand fused paths)."""
     from jax.experimental import pallas as pl
     import depthg_tpu.ops.attention as att
     from depthg_tpu.models import vit as vit_lib
@@ -104,14 +138,17 @@ def test_vit_forward_fused_matches_xla(monkeypatch):
     monkeypatch.setattr(att.pl, "pallas_call",
                         lambda *a, **k: orig(*a, **{**k, "interpret": True}))
 
-    cfg = vit_lib.ViTConfig(embed_dim=64, depth=2, num_heads=2, patch_size=8)
+    cfg = vit_lib.ViTConfig(embed_dim=dim, depth=2, num_heads=heads,
+                            patch_size=8)
     params = vit_lib.vit_init(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 3, 40, 40)),
                     jnp.float32)
-    f_x, _, _ = vit_lib.vit_apply(params, x, cfg, attn_impl="xla")
-    f_f, a_f, _ = vit_lib.vit_apply(params, x, cfg, attn_impl="fused")
+    f_x, _, q_x = vit_lib.vit_apply(params, x, cfg, attn_impl="xla")
+    f_f, a_f, q_f = vit_lib.vit_apply(params, x, cfg, attn_impl="fused")
     assert a_f[0] is None
     np.testing.assert_allclose(np.asarray(f_f[0]), np.asarray(f_x[0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(q_f[0]), np.asarray(q_x[0]),
                                rtol=2e-5, atol=2e-5)
 
 
