@@ -62,6 +62,7 @@ def from_cfg(cfg) -> FeaturizerConfig:
         projection_type=cfg.projection_type,
         dim=cfg.dim,
         dropout=bool(cfg.dropout),
+        attention_impl=str(getattr(cfg, "attention_impl", "auto")),
     )
 
 

@@ -23,6 +23,7 @@ def fcfg_from_run_cfg(cfg) -> FeaturizerConfig:
         projection_type=cfg.get("projection_type", "nonlinear"),
         dim=int(cfg.get("dim", 70)),
         dropout=bool(cfg.get("dropout", True)),
+        attention_impl=str(cfg.get("attention_impl", "auto")),
     )
     if cfg.get("arch") == "dino_depth":
         from depthg_tpu.models.featurizer_depth import DepthFeaturizerConfig
