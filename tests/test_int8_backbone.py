@@ -62,6 +62,32 @@ def test_backbone_features_int8_fidelity_and_dtype():
     assert cos > 0.99, f"int8 features diverged: cosine {cos:.4f}"
 
 
+def test_int8_backbone_with_fused_attention(monkeypatch):
+    """The decision-matrix combination: w8a8 linears feeding the whole-KV
+    fused attention kernel (interpret mode). The quantized qkv projection
+    emits bf16 [B, N, 3D]; the packed kernel must accept it unchanged."""
+    import dataclasses
+
+    from jax.experimental import pallas as pl
+    import depthg_tpu.ops.attention as att
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(att.pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    fcfg = dataclasses.replace(
+        FeaturizerConfig(arch="vit_small", patch_size=8, dim=70),
+        attention_impl="fused")
+    params = featurizer_init(jax.random.PRNGKey(0), fcfg)
+    img = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 64, 64))
+    ref, _ = backbone_features(params, img, fcfg)
+    out, _ = backbone_features(params, img, fcfg, backbone_dtype="int8")
+    assert out.dtype == jnp.float32
+    r, o = np.asarray(ref).ravel(), np.asarray(out).ravel()
+    cos = float(np.dot(r, o) / (np.linalg.norm(r) * np.linalg.norm(o)))
+    assert cos > 0.99, f"int8+fused features diverged: cosine {cos:.4f}"
+
+
 def test_backbone_features_rejects_unknown_dtype():
     fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=70)
     params = featurizer_init(jax.random.PRNGKey(0), fcfg)
