@@ -116,6 +116,32 @@ def test_fused_pair_forward_matches_unfused():
                                    rtol=2e-5, atol=2e-6, err_msg=name)
 
 
+def test_train_step_int8_backbone_runs():
+    """backbone_dtype="int8" through the FULL train step (the combination
+    the device decision matrix times): the w8a8 frozen forward feeds the
+    same loss stack; the step must run, optimize, and land near the f32
+    objective (quantization of a random-init tiny ViT is the worst case,
+    so the bound is loose — fidelity on the real arch is pinned to >0.99
+    cosine in tests/test_int8_backbone.py)."""
+    rng = np.random.default_rng(11)
+    batch = {k: jnp.asarray(v) for k, v in _batch(rng).items()}
+    key = jax.random.PRNGKey(6)
+    state = step_lib.init_state(jax.random.PRNGKey(4), FCFG, HP)
+
+    logs = {}
+    for bdt in ("float32", "int8"):
+        hp = step_lib.TrainHParams(n_classes=3, lr=1e-3, backbone_dtype=bdt,
+                                   fused_pair_forward=True)
+        step = jax.jit(lambda s, b, k, h: step_lib.train_step(
+            s, b, k, FCFG, h, LCFG, 0.19, 0.03), static_argnums=(3,))
+        st, logs[bdt] = step(state, batch, key, hp)
+        assert int(st["step"]) == 1
+
+    t32, t8 = float(logs["float32"]["loss/total"]), float(logs["int8"]["loss/total"])
+    assert np.isfinite(t8), "int8 train step produced non-finite loss"
+    assert abs(t8 - t32) < 0.5 * abs(t32) + 0.1, (t8, t32)
+
+
 def test_tta_code_fused_matches_two_forwards():
     """The stacked [2B] flip-TTA forward equals the two-dispatch formulation
     (reference eval_segmentation.py:150-152) per sample."""
