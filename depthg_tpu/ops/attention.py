@@ -50,13 +50,17 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LOGITS_BUDGET = 8 * 2 ** 20
 
 
-def _attend(q, k, v, scale: float, n_valid: int, row0, out_dtype):
+def _attend(q, k, v, scale: float, n_valid: int, row0, out_dtype, bias=None):
     """The shared whole-KV softmax-attention math on loaded VMEM values:
     q [bq, hd], k/v [n, hd] -> [bq, hd]. ``row0`` = global index of the
-    first query row in this block (for exact-zero padded-row masking)."""
+    first query row in this block (for exact-zero padded-row masking).
+    ``bias`` (optional [bq, n], any float dtype) is added to the scaled
+    logits — the relative-position-bias contract of BEiT attention."""
     qf = q.astype(jnp.float32) * scale
     s = jax.lax.dot_general(qf.astype(k.dtype), k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [bq, n]
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
     if n_valid < s.shape[1]:
         keep = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < n_valid
         s = jnp.where(keep, s, -1e30)
@@ -72,22 +76,27 @@ def _attend(q, k, v, scale: float, n_valid: int, row0, out_dtype):
     return o.astype(out_dtype)
 
 
-def _whole_kv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+def _whole_kv_kernel(q_ref, k_ref, v_ref, *rest, scale: float,
                      n_valid: int, out_dtype):
+    b_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
     row0 = pl.program_id(2) * q_ref.shape[2]
+    bias = None if b_ref is None else b_ref[0]
     o_ref[0, 0] = _attend(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], scale,
-                          n_valid, row0, out_dtype)
+                          n_valid, row0, out_dtype, bias=bias)
 
 
-def _whole_kv_pair_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+def _whole_kv_pair_kernel(q_ref, k_ref, v_ref, *rest, scale: float,
                           n_valid: int, hd: int, out_dtype):
     """Two heads per program over 128-lane blocks of the packed qkv tensor:
-    q_ref/k_ref/v_ref are [1, rows, 2*hd]; each half is one head."""
+    q_ref/k_ref/v_ref are [1, rows, 2*hd]; each half is one head. The
+    optional bias ref is [2, rows, n] — one [bq, n] logit bias per head."""
+    b_ref, o_ref = rest if len(rest) == 2 else (None, rest[0])
     row0 = pl.program_id(2) * q_ref.shape[1]
     q2, k2, v2 = q_ref[0], k_ref[0], v_ref[0]
     halves = [
         _attend(q2[:, h * hd:(h + 1) * hd], k2[:, h * hd:(h + 1) * hd],
-                v2[:, h * hd:(h + 1) * hd], scale, n_valid, row0, out_dtype)
+                v2[:, h * hd:(h + 1) * hd], scale, n_valid, row0, out_dtype,
+                bias=None if b_ref is None else b_ref[h])
         for h in (0, 1)]
     o_ref[0] = jnp.concatenate(halves, axis=1)
 
@@ -134,6 +143,7 @@ def _validated(n: int, block_q: int | None, n_logit_tiles: int) -> int:
 
 def whole_kv_mha_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
                      n_valid: int | None = None, block_q: int | None = None,
+                     bias: jnp.ndarray | None = None,
                      interpret: bool = False) -> jnp.ndarray:
     """Whole-KV attention straight from the packed qkv projection.
 
@@ -147,6 +157,11 @@ def whole_kv_mha_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
     (split in VMEM), so the config must satisfy ``qkv_packed_ok``.
     Semantics identical to ``whole_kv_mha`` (padded keys weight exactly 0,
     padded query rows exactly 0).
+
+    ``bias`` (optional [num_heads, N, N], any float dtype) is added to the
+    scaled logits per head — BEiT's relative-position bias. It is batch-
+    independent; values at padded rows/columns are ignored (masked), so
+    callers may zero-pad it.
     """
     b, n, d3 = qkv.shape
     d = d3 // 3
@@ -156,31 +171,40 @@ def whole_kv_mha_qkv(qkv: jnp.ndarray, num_heads: int, scale: float,
             f"num_heads={num_heads}, 3D={d3} — use whole_kv_mha instead")
     hd = d // num_heads
     nv = int(n if n_valid is None else n_valid)
-    # the pair kernel holds TWO heads' logits+exp tiles at once
-    bq = _validated(n, block_q, n_logit_tiles=4)
+    if bias is not None and bias.shape != (num_heads, n, n):
+        raise ValueError(f"bias must be [{num_heads}, {n}, {n}], "
+                         f"got {bias.shape}")
+    # the pair kernel holds TWO heads' logits+exp tiles at once (+2 bias)
+    bq = _validated(n, block_q, n_logit_tiles=4 if bias is None else 6)
     kernel = functools.partial(_whole_kv_pair_kernel, scale=float(scale),
                                n_valid=nv, hd=hd, out_dtype=qkv.dtype)
     dtiles = d // 128  # 128-lane tiles per D; pair j lives at tile j
+    in_specs = [
+        pl.BlockSpec((1, bq, 128), lambda i, j, qb: (i, qb, j)),
+        pl.BlockSpec((1, n, 128),
+                     lambda i, j, qb, dt=dtiles: (i, 0, dt + j)),
+        pl.BlockSpec((1, n, 128),
+                     lambda i, j, qb, dt=dtiles: (i, 0, 2 * dt + j)),
+    ]
+    operands = [qkv, qkv, qkv]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((2, bq, n), lambda i, j, qb: (j, qb, 0)))
+        operands.append(bias)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, d), qkv.dtype),
         grid=(b, num_heads // 2, n // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, 128), lambda i, j, qb: (i, qb, j)),
-            pl.BlockSpec((1, n, 128),
-                         lambda i, j, qb, dt=dtiles: (i, 0, dt + j)),
-            pl.BlockSpec((1, n, 128),
-                         lambda i, j, qb, dt=dtiles: (i, 0, 2 * dt + j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, 128), lambda i, j, qb: (i, qb, j)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qkv, qkv, qkv)
+    )(*operands)
 
 
 def whole_kv_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
                  n_valid: int | None = None, block_q: int | None = None,
+                 bias: jnp.ndarray | None = None,
                  interpret: bool = False) -> jnp.ndarray:
     """Self-attention over [B, H, N, HD] with the whole KV resident in VMEM.
 
@@ -189,23 +213,34 @@ def whole_kv_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     constant). Returns [B, H, N, HD] in ``q.dtype``; padded query rows are
     exactly 0 and padded keys receive probability exactly 0. HD is the full
     minor dimension of every block, so any HD is tile-legal.
+
+    ``bias`` (optional [H, N, N], any float dtype) is added to the scaled
+    logits per head (BEiT relative-position bias); padded entries are
+    ignored under the ``n_valid`` mask.
     """
     b, h, n, hd = q.shape
     nv = int(n if n_valid is None else n_valid)
-    bq = _validated(n, block_q, n_logit_tiles=2)
+    if bias is not None and bias.shape != (h, n, n):
+        raise ValueError(f"bias must be [{h}, {n}, {n}], got {bias.shape}")
+    bq = _validated(n, block_q, n_logit_tiles=2 if bias is None else 3)
     kernel = functools.partial(_whole_kv_kernel, scale=float(scale),
                                n_valid=nv, out_dtype=q.dtype)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, hd), lambda i, j, qb: (i, j, qb, 0)),
+        pl.BlockSpec((1, 1, n, hd), lambda i, j, qb: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, n, hd), lambda i, j, qb: (i, j, 0, 0)),
+    ]
+    operands = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, bq, n), lambda i, j, qb: (j, qb, 0)))
+        operands.append(bias)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, n, hd), q.dtype),
         grid=(b, h, n // bq),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, hd), lambda i, j, qb: (i, j, qb, 0)),
-            pl.BlockSpec((1, 1, n, hd), lambda i, j, qb: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, n, hd), lambda i, j, qb: (i, j, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, hd), lambda i, j, qb: (i, j, qb, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v)
+    )(*operands)

@@ -65,6 +65,57 @@ def test_bf16_inputs_close_to_f32_reference():
                                rtol=0.05, atol=0.05)
 
 
+@pytest.mark.parametrize("n,n_valid,block_q", [(256, 256, None),
+                                               (384, 260, 128)])
+def test_bias_matches_xla_attention(n, n_valid, block_q):
+    """Additive logit bias (BEiT relative-position bias contract) through
+    the split-operand kernel, including a mixed valid/padded q block."""
+    h = 2
+    q, k, v = _qkv(2, h, n, 64, n_valid)
+    rng = np.random.default_rng(9)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)), jnp.float32)
+    out = whole_kv_mha(q, k, v, 0.125, n_valid=n_valid, block_q=block_q,
+                       bias=bias, interpret=True)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * 0.125 + bias[None]
+    keep = jnp.arange(n) < n_valid
+    s = jnp.where(keep[None, None, None, :], s, -jnp.inf)
+    ref = jnp.einsum("bhnm,bhmd->bhnd", jax.nn.softmax(s, axis=-1),
+                     v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out[:, :, :n_valid]),
+                               np.asarray(ref[:, :, :n_valid]),
+                               rtol=2e-5, atol=2e-5)
+    assert np.all(np.asarray(out[:, :, n_valid:]) == 0.0)
+
+
+@pytest.mark.parametrize("n_valid,block_q", [(384, None), (260, 128)])
+def test_bias_qkv_packed_matches_split(n_valid, block_q):
+    """Bias through the head-PAIR packed kernel == bias through the split
+    kernel (each pair's b_ref half must map to the right head)."""
+    from depthg_tpu.ops.attention import whole_kv_mha_qkv
+
+    b, nh, n, hd = 2, 4, 384, 64
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * nh * hd)), jnp.float32)
+    qkv = qkv.at[:, n_valid:].set(0.0)
+    bias = jnp.asarray(rng.standard_normal((nh, n, n)), jnp.float32)
+    out = whole_kv_mha_qkv(qkv, nh, 0.125, n_valid=n_valid,
+                           block_q=block_q, bias=bias, interpret=True)
+    q, k, v = jnp.transpose(qkv.reshape(b, n, 3, nh, hd), (2, 0, 3, 1, 4))
+    ref = whole_kv_mha(q, k, v, 0.125, n_valid=n_valid, bias=bias,
+                       interpret=True)
+    ref = jnp.transpose(ref, (0, 2, 1, 3)).reshape(b, n, nh * hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_bias_shape_rejected():
+    q, k, v = _qkv(1, 2, 256, 64, 256)
+    with pytest.raises(ValueError, match="bias"):
+        whole_kv_mha(q, k, v, 1.0, bias=jnp.zeros((2, 128, 256)),
+                     interpret=True)
+
+
 def test_block_q_picker_divides_and_fits():
     for npad in (128, 896, 1664, 4096):
         bq = _pick_block_q(npad)
