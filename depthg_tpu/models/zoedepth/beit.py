@@ -42,6 +42,10 @@ class BEiTConfig:
     pretrain_window: int = 24  # 384 / 16
     hooks: tuple = (5, 11, 17, 23)
     layer_scale_init: float = 1e-5
+    # "xla" (einsum softmax, parity default) | "fused" (whole-KV Pallas
+    # kernel with the rel-pos bias added in VMEM — the [N, N] logits never
+    # touch HBM) | "auto" (fused on TPU, xla elsewhere)
+    attn_impl: str = "xla"
 
 
 def beit_init(key: jax.Array, cfg: BEiTConfig, dtype=jnp.float32) -> dict:
@@ -113,22 +117,46 @@ def _rel_pos_bias(table: jnp.ndarray, cfg: BEiTConfig, h: int, w: int) -> jnp.nd
     return jnp.transpose(bias, (2, 0, 1))
 
 
-def _block(p: dict, x: jnp.ndarray, cfg: BEiTConfig, h: int, w: int) -> jnp.ndarray:
+def _fused_ok(n: int, nh: int, d: int) -> bool:
+    from depthg_tpu.ops.attention import whole_kv_seq_ok
+    return n % 128 == 0 and d % nh == 0 and whole_kv_seq_ok(n, d // nh)
+
+
+def _block(p: dict, x: jnp.ndarray, cfg: BEiTConfig, h: int, w: int,
+           fused: bool = False, n_valid: int | None = None) -> jnp.ndarray:
     b, n, d = x.shape
     nh = cfg.num_heads
     hd = d // nh
+    scale = hd ** -0.5
 
     y = layer_norm(p["norm1"], x, cfg.ln_eps)
     qkv_bias = jnp.concatenate([p["q_bias"], jnp.zeros_like(p["q_bias"]), p["v_bias"]])
-    qkv = (y @ p["qkv_w"] + qkv_bias).reshape(b, n, 3, nh, hd)
-    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * (hd ** -0.5)
-    logits = logits + _rel_pos_bias(p["rel_pos_table"], cfg, h, w)[None].astype(logits.dtype)
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, d)
+    qkv_flat = y @ p["qkv_w"] + qkv_bias  # [B, N, 3D]
+    bias = _rel_pos_bias(p["rel_pos_table"], cfg, h, w)  # [nh, N', N']
+    if fused and _fused_ok(n, nh, d):
+        from depthg_tpu.ops.attention import (qkv_packed_ok, whole_kv_mha,
+                                              whole_kv_mha_qkv)
+        if bias.shape[-1] != n:  # stack padded to a lane multiple: the
+            # kernel's n_valid mask ignores padded rows/cols, so zero-pad
+            pn = n - bias.shape[-1]
+            bias = jnp.pad(bias, ((0, 0), (0, pn), (0, pn)))
+        if qkv_packed_ok(nh, d):  # BEiT-L: hd=64, 16 heads, D=1024
+            out = whole_kv_mha_qkv(qkv_flat, nh, scale, n_valid, bias=bias)
+        else:
+            qkv5 = jnp.transpose(qkv_flat.reshape(b, n, 3, nh, hd),
+                                 (2, 0, 3, 1, 4))
+            o = whole_kv_mha(qkv5[0], qkv5[1], qkv5[2], scale, n_valid,
+                             bias=bias)
+            out = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, n, d)
+    else:
+        qkv = jnp.transpose(qkv_flat.reshape(b, n, 3, nh, hd), (2, 0, 3, 1, 4))
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias[None].astype(logits.dtype)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, n, d)
     out = linear(p["proj"], out)
     x = x + p["gamma_1"] * out
 
@@ -139,7 +167,14 @@ def _block(p: dict, x: jnp.ndarray, cfg: BEiTConfig, h: int, w: int) -> jnp.ndar
 
 def beit_forward(params: dict, x: jnp.ndarray, cfg: BEiTConfig):
     """x: [B, 3, H, W] (H, W multiples of 16) -> list of hook-tap token
-    tensors [B, 1+N, D] at ``cfg.hooks`` block outputs."""
+    tensors [B, 1+N, D] at ``cfg.hooks`` block outputs.
+
+    ``cfg.attn_impl="fused"`` routes attention through the whole-KV Pallas
+    kernel (rel-pos bias added to the logits in VMEM): the token axis is
+    padded ONCE to a lane multiple for the whole 24-block stack — padded
+    keys get probability exactly 0 via the kernel's ``n_valid`` mask, and
+    every other op (LN, MLP, LayerScale) is per-token, so pad rows never
+    contaminate real tokens. Taps are sliced back to the real length."""
     b, _, hh, ww = x.shape
     ps = cfg.patch_size
     h, w = hh // ps, ww // ps
@@ -149,9 +184,20 @@ def beit_forward(params: dict, x: jnp.ndarray, cfg: BEiTConfig):
     cls = jnp.broadcast_to(params["cls_token"].astype(tok.dtype), (b, 1, tok.shape[-1]))
     tok = jnp.concatenate([cls, tok], axis=1)
 
+    impl = cfg.attn_impl
+    if impl == "auto":
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    n_tok = tok.shape[1]
+    npad = -(-n_tok // 128) * 128
+    fused = impl == "fused" and _fused_ok(npad, cfg.num_heads, cfg.embed_dim)
+    n_valid = None
+    if fused and npad != n_tok:
+        n_valid = n_tok
+        tok = jnp.pad(tok, ((0, 0), (0, npad - n_tok), (0, 0)))
+
     taps = []
     for i, blk in enumerate(params["blocks"]):
-        tok = _block(blk, tok, cfg, h, w)
+        tok = _block(blk, tok, cfg, h, w, fused=fused, n_valid=n_valid)
         if i in cfg.hooks:
-            taps.append(tok)
+            taps.append(tok[:, :n_tok])
     return taps, (h, w)

@@ -48,6 +48,10 @@ def get_args_parser():
     p.add_argument("--allow_random", action="store_true",
                    help="run with random weights (smoke testing only)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--attn_impl", default="auto",
+                   choices=["auto", "xla", "flash", "fused"],
+                   help="backbone attention path (auto = fused/flash on TPU); "
+                        "zoedepth supports auto|xla|fused")
     return p
 
 
@@ -126,7 +130,8 @@ def main(args):
         @jax.jit
         def infer(p, x):
             # raw 0..1 input, single forward — reference generate_depth.py:166
-            depth, hooks = midas_dpt_forward(p, x.astype(dtype), mcfg)
+            depth, hooks = midas_dpt_forward(p, x.astype(dtype), mcfg,
+                                             attn_impl=args.attn_impl)
             return depth[:, None].astype(jnp.float32), hooks["out_conv"].astype(jnp.float32)
     else:
         from depthg_tpu.models.zoedepth import ZoeConfig, zoedepth_infer, zoedepth_init
@@ -142,6 +147,10 @@ def main(args):
         else:
             raise SystemExit("No --weights given (this environment cannot download "
                              "ZoeD_M12_N.pt). Pass --weights or --allow_random.")
+        if args.attn_impl != "flash":  # BEiT has no flash path (rel-pos bias)
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, beit=dataclasses.replace(cfg.beit, attn_impl=args.attn_impl))
 
         @jax.jit
         def infer(p, x):

@@ -174,3 +174,33 @@ def test_converter_roundtrip_synthetic():
     a = zoedepth_forward(jax.device_put(params), (x - 0.5) * 2, cfg)["metric_depth"]
     b = zoedepth_forward(jax.device_put(restored), (x - 0.5) * 2, cfg)["metric_depth"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("embed_dim,num_heads", [(128, 2), (192, 3)])
+def test_beit_fused_attention_matches_xla(monkeypatch, embed_dim, num_heads):
+    """attn_impl='fused' (whole-KV kernel + in-VMEM rel-pos bias, interpret
+    mode) == the einsum path, through stack-level once-per-forward padding
+    (71 tokens -> 128). (128, 2) exercises the qkv-packed head-pair kernel,
+    (192, 3) the split-operand fallback (odd heads)."""
+    import depthg_tpu.ops.attention as attn
+
+    for name in ("whole_kv_mha_qkv", "whole_kv_mha"):
+        orig = getattr(attn, name)
+        monkeypatch.setattr(
+            attn, name,
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+    cfg = BEiTConfig(embed_dim=embed_dim, depth=2, num_heads=num_heads,
+                     pretrain_window=4, hooks=(0, 1))
+    params = beit_init(jax.random.PRNGKey(3), cfg)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 3, 112, 160)), jnp.float32)
+    ref_taps, ref_grid = beit_forward(params, x, cfg)
+    import dataclasses
+    fused_taps, grid = beit_forward(
+        params, x, dataclasses.replace(cfg, attn_impl="fused"))
+    assert grid == ref_grid
+    assert len(fused_taps) == len(ref_taps)
+    for got, ref in zip(fused_taps, ref_taps):
+        assert got.shape == ref.shape  # padding sliced back off
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
