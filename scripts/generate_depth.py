@@ -48,6 +48,10 @@ def get_args_parser():
     p.add_argument("--allow_random", action="store_true",
                    help="run with random weights (smoke testing only)")
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="images per device dispatch (same-size buckets are "
+                        "batched; tails are zero-padded so each bucket "
+                        "compiles once)")
     p.add_argument("--attn_impl", default="auto",
                    choices=["auto", "xla", "flash", "fused"],
                    help="backbone attention path (auto = fused/flash on TPU); "
@@ -157,41 +161,73 @@ def main(args):
             depth, feats = zoedepth_infer(p, x.astype(dtype), cfg, return_feats=True)
             return depth.astype(jnp.float32), feats.astype(jnp.float32)
 
+    run_pipeline(args, infer, params)
+
+
+def run_pipeline(args, infer, params):
+    """Drive ``infer(params, x[B,3,H,W]) -> (depth[B,1,h,w], feats)`` over
+    the input images with size-bucketed batching. Split from ``main`` so the
+    batching/normalization logic is testable with a stub model."""
+    import jax
+    import jax.numpy as jnp
+
     out_root = Path(args.output_dir)
     n = 0
-    for pil, src in iter_images(args):
-        if pil is None:
-            continue
-        # bucket input sizes (aspect-preserving, long side <= 512, /32) so the
-        # jit cache stays small on heterogeneous datasets; depth is resized
-        # back to the source resolution before saving
-        ow, oh = pil.size
-        scale = min(1.0, 512 / max(ow, oh))
-        bw = max(32, int(round(ow * scale / 32)) * 32)
-        bh = max(32, int(round(oh * scale / 32)) * 32)
-        x = _image_to_array(pil.resize((bw, bh), Image.BILINEAR))[None]
-        depth, feats = infer(params, jnp.asarray(x))
-        depth = np.asarray(depth)[0, 0]
-        if (bh, bw) != (oh, ow):
-            depth = np.asarray(Image.fromarray(depth, mode="F").resize((ow, oh), Image.BILINEAR))
+    bs = max(1, args.batch_size)
+    buckets = {}  # (bh, bw) -> list of (x [1,3,bh,bw], (ow, oh, src))
 
+    def write_one(depth, ow, oh, src, feats=None):
+        nonlocal n
+        if depth.shape != (oh, ow):
+            depth = np.asarray(Image.fromarray(depth, mode="F")
+                               .resize((ow, oh), Image.BILINEAR))
+        # per-image min-max normalization (batching does not change it);
+        # MiDaS relative depth is inverted — reference generate_depth.py:192-197
+        depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-12)
         if args.model == "midas":
-            depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-12)
             depth = 1.0 - depth
-        else:
-            depth = (depth - depth.min()) / max(depth.max() - depth.min(), 1e-12)
-
         src_path = Path(src)
         folder = out_root / src_path.parent.name
         folder.mkdir(parents=True, exist_ok=True)
         out_png = folder / f"{src_path.stem}_{args.model}.png"
         Image.fromarray((depth * 255).astype(np.uint8)).save(out_png)
-
-        if args.save_features:
-            np.save(folder / f"{src_path.stem}_feats.npy", np.asarray(feats)[0])
+        if feats is not None:
+            np.save(folder / f"{src_path.stem}_feats.npy", feats)
         n += 1
         if n % 50 == 0:
             print(f"{n} depth maps written", flush=True)
+
+    def flush(items):
+        k = len(items)
+        xs = np.concatenate([it[0] for it in items], axis=0)
+        if k < bs:  # pad the tail so each size bucket compiles exactly once
+            xs = np.concatenate(
+                [xs, np.zeros((bs - k, *xs.shape[1:]), xs.dtype)], axis=0)
+        depth_b, feats_b = infer(params, jnp.asarray(xs))
+        depth_b = jax.device_get(depth_b)[:k, 0]
+        feats_b = jax.device_get(feats_b)[:k] if args.save_features else [None] * k
+        for (_, (ow, oh, src)), depth, feats in zip(items, depth_b, feats_b):
+            write_one(depth, ow, oh, src, feats)
+
+    for pil, src in iter_images(args):
+        if pil is None:
+            continue
+        # bucket input sizes (aspect-preserving, long side <= 512, /32) so the
+        # jit cache stays small on heterogeneous datasets; depth is resized
+        # back to the source resolution before saving. Same-bucket images are
+        # batched --batch_size deep: one dispatch amortizes the per-call
+        # latency and fills the MXU (the reference loops batch-1,
+        # generate_depth.py:163).
+        ow, oh = pil.size
+        scale = min(1.0, 512 / max(ow, oh))
+        bw = max(32, int(round(ow * scale / 32)) * 32)
+        bh = max(32, int(round(oh * scale / 32)) * 32)
+        x = _image_to_array(pil.resize((bw, bh), Image.BILINEAR))[None]
+        buckets.setdefault((bh, bw), []).append((x, (ow, oh, src)))
+        if len(buckets[(bh, bw)]) >= bs:
+            flush(buckets.pop((bh, bw)))
+    for items in buckets.values():
+        flush(items)
     print(f"done: {n} depth maps -> {out_root}")
 
 
