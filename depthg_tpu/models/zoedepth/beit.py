@@ -80,6 +80,34 @@ def beit_init(key: jax.Array, cfg: BEiTConfig, dtype=jnp.float32) -> dict:
     return params
 
 
+def quantize_beit_params(params: dict) -> dict:
+    """int8 (w8a8) BEiT tree, mirroring ``models/vit.py:quantize_vit_params``:
+    every block linear (packed qkv / proj / fc1 / fc2 — all the MXU flops)
+    becomes a ``quantize_linear_params`` dict; norms, LayerScale gammas, the
+    rel-pos table, and embeddings are cast to bf16. The decomposed qkv bias
+    (q_bias, zero k, v_bias — timm BEiT) folds into the quantized linear's
+    f32 bias. ``_block`` detects the packed "qkv" key."""
+    from depthg_tpu.models.layers import cast_tree_bf16 as bf16
+    from depthg_tpu.models.layers import quantize_linear_params
+
+    out = {k: bf16(v) for k, v in params.items() if k != "blocks"}
+    out["blocks"] = []
+    for blk in params["blocks"]:
+        qb = blk["q_bias"]
+        qkv_b = jnp.concatenate([qb, jnp.zeros_like(qb), blk["v_bias"]])
+        out["blocks"].append({
+            "norm1": bf16(blk["norm1"]), "norm2": bf16(blk["norm2"]),
+            "gamma_1": blk["gamma_1"].astype(jnp.bfloat16),
+            "gamma_2": blk["gamma_2"].astype(jnp.bfloat16),
+            "rel_pos_table": blk["rel_pos_table"].astype(jnp.bfloat16),
+            "qkv": quantize_linear_params({"w": blk["qkv_w"], "b": qkv_b}),
+            "proj": quantize_linear_params(blk["proj"]),
+            "fc1": quantize_linear_params(blk["fc1"]),
+            "fc2": quantize_linear_params(blk["fc2"]),
+        })
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def relative_position_index(h: int, w: int) -> np.ndarray:
     """timm BEiT relative_position_index for an (h*w + 1)-token window."""
@@ -130,8 +158,12 @@ def _block(p: dict, x: jnp.ndarray, cfg: BEiTConfig, h: int, w: int,
     scale = hd ** -0.5
 
     y = layer_norm(p["norm1"], x, cfg.ln_eps)
-    qkv_bias = jnp.concatenate([p["q_bias"], jnp.zeros_like(p["q_bias"]), p["v_bias"]])
-    qkv_flat = y @ p["qkv_w"] + qkv_bias  # [B, N, 3D]
+    if "qkv" in p:  # int8 tree: packed w8a8 projection, bias folded in
+        qkv_flat = linear(p["qkv"], y)  # [B, N, 3D]
+    else:
+        qkv_bias = jnp.concatenate([p["q_bias"], jnp.zeros_like(p["q_bias"]),
+                                    p["v_bias"]])
+        qkv_flat = y @ p["qkv_w"] + qkv_bias  # [B, N, 3D]
     bias = _rel_pos_bias(p["rel_pos_table"], cfg, h, w)  # [nh, N', N']
     if fused and _fused_ok(n, nh, d):
         from depthg_tpu.ops.attention import (qkv_packed_ok, whole_kv_mha,

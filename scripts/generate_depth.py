@@ -47,7 +47,10 @@ def get_args_parser():
     p.add_argument("--weights", default=None, help="path to ZoeD_M12_N.pt")
     p.add_argument("--allow_random", action="store_true",
                    help="run with random weights (smoke testing only)")
-    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32", "int8"],
+                   help="int8 = w8a8 block linears in the backbone (2x MXU "
+                        "peak), bf16 everywhere else")
     p.add_argument("--batch_size", type=int, default=8,
                    help="images per device dispatch (same-size buckets are "
                         "batched; tails are zero-padded so each bucket "
@@ -109,7 +112,7 @@ def main(args):
 
     from depthg_tpu.utils.ckpt import to_jax
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
 
     if args.model == "midas":
         from depthg_tpu.models.midas_dpt import (
@@ -119,17 +122,23 @@ def main(args):
             midas_dpt_init,
         )
 
+        load_dtype = jnp.float32 if args.dtype == "int8" else dtype
         if args.weights and os.path.exists(args.weights):
             params, mcfg = load_midas_dpt(args.weights)
-            params = to_jax(params, dtype=dtype)
+            params = to_jax(params, dtype=load_dtype)
         elif args.allow_random:
             print("WARNING: running with RANDOM DPT_Large weights (smoke test only).")
             mcfg = MidasDPTConfig()
-            params = midas_dpt_init(jax.random.PRNGKey(0), mcfg, dtype)
+            params = midas_dpt_init(jax.random.PRNGKey(0), mcfg, load_dtype)
         else:
             raise SystemExit("No --weights given (this environment cannot download "
                              "dpt_large-midas-2f21e586.pt). Pass --weights or "
                              "--allow_random.")
+        if args.dtype == "int8":  # quantize from f32, bf16 for the decoder
+            from depthg_tpu.models.layers import cast_tree_bf16
+            from depthg_tpu.models.vit import quantize_vit_params
+            params = {"vit": quantize_vit_params(params["vit"]),
+                      "dpt": cast_tree_bf16(params["dpt"])}
 
         @jax.jit
         def infer(p, x):
@@ -142,12 +151,13 @@ def main(args):
         from depthg_tpu.models.zoedepth.convert import load_zoedepth_pt
 
         cfg = ZoeConfig()
+        load_dtype = jnp.float32 if args.dtype == "int8" else dtype
         if args.weights and os.path.exists(args.weights):
             params, cfg = load_zoedepth_pt(args.weights, with_config=True)
-            params = to_jax(params, dtype=dtype)
+            params = to_jax(params, dtype=load_dtype)
         elif args.allow_random:
             print("WARNING: running with RANDOM ZoeDepth weights (smoke test only).")
-            params = zoedepth_init(jax.random.PRNGKey(0), cfg, dtype)
+            params = zoedepth_init(jax.random.PRNGKey(0), cfg, load_dtype)
         else:
             raise SystemExit("No --weights given (this environment cannot download "
                              "ZoeD_M12_N.pt). Pass --weights or --allow_random.")
@@ -155,6 +165,11 @@ def main(args):
             import dataclasses
             cfg = dataclasses.replace(
                 cfg, beit=dataclasses.replace(cfg.beit, attn_impl=args.attn_impl))
+        if args.dtype == "int8":  # quantize from f32, bf16 for the rest
+            from depthg_tpu.models.layers import cast_tree_bf16
+            from depthg_tpu.models.zoedepth.beit import quantize_beit_params
+            params = {k: (quantize_beit_params(v) if k == "beit"
+                          else cast_tree_bf16(v)) for k, v in params.items()}
 
         @jax.jit
         def infer(p, x):

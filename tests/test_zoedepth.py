@@ -204,3 +204,31 @@ def test_beit_fused_attention_matches_xla(monkeypatch, embed_dim, num_heads):
         assert got.shape == ref.shape  # padding sliced back off
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_beit_int8_quantized_close_to_f32(monkeypatch):
+    """quantize_beit_params (w8a8 block linears, bf16 rest) through the
+    fused attention path stays feature-faithful to the f32/xla forward."""
+    import dataclasses
+
+    import depthg_tpu.ops.attention as attn
+    from depthg_tpu.models.zoedepth.beit import quantize_beit_params
+
+    for name in ("whole_kv_mha_qkv", "whole_kv_mha"):
+        orig = getattr(attn, name)
+        monkeypatch.setattr(
+            attn, name,
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+    cfg = BEiTConfig(embed_dim=128, depth=2, num_heads=2, pretrain_window=4,
+                     hooks=(0, 1))
+    params = beit_init(jax.random.PRNGKey(5), cfg)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 3, 112, 160)) * 0.1, jnp.float32)
+    ref_taps, _ = beit_forward(params, x, cfg)
+    q_taps, _ = beit_forward(quantize_beit_params(params),
+                             x.astype(jnp.bfloat16),
+                             dataclasses.replace(cfg, attn_impl="fused"))
+    for got, ref in zip(q_taps, ref_taps):
+        g, r = np.asarray(got, np.float32).ravel(), np.asarray(ref).ravel()
+        cos = g @ r / (np.linalg.norm(g) * np.linalg.norm(r) + 1e-30)
+        assert cos > 0.99, f"int8 BEiT diverged: cosine {cos:.4f}"
