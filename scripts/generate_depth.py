@@ -191,6 +191,21 @@ def run_pipeline(args, infer, params):
     bs = max(1, args.batch_size)
     buckets = {}  # (bh, bw) -> list of (x [1,3,bh,bw], (ow, oh, src))
 
+    if len(jax.devices()) > 1:
+        # data-parallel depth generation: batch-shard each bucket dispatch
+        # over the ICI mesh, params replicated (the reference's nearest
+        # analogue is torch DataParallel on the KNN/eval models only —
+        # SURVEY §2.7; its depth generation is strictly single-device)
+        from depthg_tpu.parallel.mesh import (batch_sharding,
+                                              make_mesh_for_batch, replicate,
+                                              replicated)
+        mesh = make_mesh_for_batch(bs)
+        if mesh.size > 1:
+            params = replicate(params, mesh)
+            infer = jax.jit(infer, in_shardings=(replicated(mesh),
+                                                 batch_sharding(mesh)))
+            print(f"data-parallel over {mesh.size} devices", flush=True)
+
     def write_one(depth, ow, oh, src, feats=None):
         nonlocal n
         if depth.shape != (oh, ow):
