@@ -92,11 +92,22 @@ def midas_dpt_forward(params: dict, x: jnp.ndarray, cfg: MidasDPTConfig,
 
     impl = vit_lib.resolve_attn_impl(attn_impl, need_attn=False, precision=None) \
         if attn_impl == "auto" else attn_impl
+    n_tok = tok.shape[1]
+    n_valid = None
+    if impl in ("flash", "fused") and n_tok % 128:
+        # pad the token axis ONCE for the whole stack (same trick as
+        # vit_apply): the Pallas kernels mask padded keys to weight exactly
+        # 0 via n_valid, every other op is per-token, and taps are sliced
+        # back — without this the 1 + gh*gw token count fails the fused
+        # kernel's lane gate and every block re-pads inside flash
+        n_valid = n_tok
+        tok = jnp.pad(tok, ((0, 0), (0, (-n_tok) % 128), (0, 0)))
     taps = []
     for i, blk in enumerate(vp["blocks"]):
-        tok, _, _ = vit_lib._block(blk, tok, vcfg, impl)
+        tok, _, _ = vit_lib._block(blk, tok, vcfg, impl, n_valid)
         if i in cfg.hooks:
-            taps.append(tok)  # hub hooks fire on raw block outputs (no norm)
+            # hub hooks fire on raw block outputs (no norm)
+            taps.append(tok[:, :n_tok])
 
     rel_depth, hooks = dpt_forward(params["dpt"], taps, (gh, gw), cfg.dpt)
     return rel_depth, hooks

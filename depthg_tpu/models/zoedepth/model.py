@@ -120,7 +120,12 @@ def zoedepth_forward(params: dict, x: jnp.ndarray, cfg: ZoeConfig,
     rel = rel_depth[:, None]
     if cfg.inverse_midas:
         rel = 1.0 / (rel + 1e-6)
-        rel = (rel - rel.min()) / (rel.max() - rel.min())
+        # per-image min/max (reference runs this batch-1 so global == per-
+        # image there; batched dispatch must not couple images — least of
+        # all the zero-padded tail rows of the bucketed depth pipeline)
+        lo = rel.min(axis=(1, 2, 3), keepdims=True)
+        hi = rel.max(axis=(1, 2, 3), keepdims=True)
+        rel = (rel - lo) / (hi - lo)
     rel = resize_bilinear(rel, last.shape[-2:], align_corners=True)
     last = jnp.concatenate([last, rel], axis=1)
 

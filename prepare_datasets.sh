@@ -11,10 +11,13 @@ ZOE=${ZOE:-models/backbones/ZoeD_M12_N.pt}
 
 # 1. Depth maps (ZoeDepth; --model midas for the DPT_Large variant).
 #    Batched per size bucket and data-parallel over all visible devices.
+#    Output lands under {output_dir}/{source parent dir}/ — for cocostuff
+#    the split is already encoded by train2017/val2017, so point output_dir
+#    at depth/ itself (the Coco reader opens depth/{train2017}/{id}_*.png).
 python scripts/generate_depth.py --weights $ZOE --dataset cocostuff \
-    --data_dir $DATA --split train --output_dir $DATA/cocostuff/depth/train
+    --data_dir $DATA --split train --output_dir $DATA/cocostuff/depth
 python scripts/generate_depth.py --weights $ZOE --dataset cocostuff \
-    --data_dir $DATA --split val --output_dir $DATA/cocostuff/depth/val
+    --data_dir $DATA --split val --output_dir $DATA/cocostuff/depth
 # python scripts/generate_depth.py --weights $ZOE --dataset potsdam ...
 # python scripts/generate_depth.py --weights $ZOE --dataset cityscapes ...
 

@@ -161,10 +161,16 @@ def main(args):
         else:
             raise SystemExit("No --weights given (this environment cannot download "
                              "ZoeD_M12_N.pt). Pass --weights or --allow_random.")
-        if args.attn_impl != "flash":  # BEiT has no flash path (rel-pos bias)
-            import dataclasses
-            cfg = dataclasses.replace(
-                cfg, beit=dataclasses.replace(cfg.beit, attn_impl=args.attn_impl))
+        impl = args.attn_impl
+        if impl == "flash":  # BEiT has no flash path (the rel-pos bias must
+            # be added inside the kernel) — honor the intent (a fused
+            # kernel), not the letter
+            print("zoedepth has no 'flash' attention; using 'auto' "
+                  "(fused on TPU)", flush=True)
+            impl = "auto"
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, beit=dataclasses.replace(cfg.beit, attn_impl=impl))
         if args.dtype == "int8":  # quantize from f32, bf16 for the rest
             from depthg_tpu.models.layers import cast_tree_bf16
             from depthg_tpu.models.zoedepth.beit import quantize_beit_params
@@ -190,6 +196,7 @@ def run_pipeline(args, infer, params):
     n = 0
     bs = max(1, args.batch_size)
     buckets = {}  # (bh, bw) -> list of (x [1,3,bh,bw], (ow, oh, src))
+    shard_n = 1  # dispatch batches must stay divisible by the mesh
 
     if len(jax.devices()) > 1:
         # data-parallel depth generation: batch-shard each bucket dispatch
@@ -204,6 +211,7 @@ def run_pipeline(args, infer, params):
             params = replicate(params, mesh)
             infer = jax.jit(infer, in_shardings=(replicated(mesh),
                                                  batch_sharding(mesh)))
+            shard_n = mesh.size
             print(f"data-parallel over {mesh.size} devices", flush=True)
 
     def write_one(depth, ow, oh, src, feats=None):
@@ -230,9 +238,16 @@ def run_pipeline(args, infer, params):
     def flush(items):
         k = len(items)
         xs = np.concatenate([it[0] for it in items], axis=0)
-        if k < bs:  # pad the tail so each size bucket compiles exactly once
+        # pad tails to the next power of two <= bs: at most log2(bs)+1
+        # compiles per bucket size, and a 1-image tail costs 1 image of
+        # compute, not bs (size-heterogeneous datasets put most images in
+        # singleton buckets, where padding straight to bs would make the
+        # batched loop SLOWER than the reference's batch-1 loop)
+        target = bs if k == bs else min(bs, 1 << (k - 1).bit_length())
+        target = min(bs, -(-target // shard_n) * shard_n)  # mesh-divisible
+        if k < target:
             xs = np.concatenate(
-                [xs, np.zeros((bs - k, *xs.shape[1:]), xs.dtype)], axis=0)
+                [xs, np.zeros((target - k, *xs.shape[1:]), xs.dtype)], axis=0)
         depth_b, feats_b = infer(params, jnp.asarray(xs))
         depth_b = jax.device_get(depth_b)[:k, 0]
         feats_b = jax.device_get(feats_b)[:k] if args.save_features else [None] * k

@@ -66,3 +66,24 @@ def test_converter_roundtrip_synthetic(tiny):
     a, _ = midas_dpt_forward(tiny, x, TINY)
     b, _ = midas_dpt_forward(jax.device_put(restored), x, TINY)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fused_attention_matches_xla(tiny, monkeypatch):
+    """attn_impl='fused' through the new stack-level once-per-forward
+    padding (25 tokens -> 128, taps sliced back) == the xla einsum path."""
+    import depthg_tpu.ops.attention as attn
+
+    for name in ("whole_kv_mha_qkv", "whole_kv_mha"):
+        orig = getattr(attn, name)
+        monkeypatch.setattr(
+            attn, name,
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+    x = jnp.asarray(np.random.default_rng(2).random((1, 3, 96, 64))
+                    .astype(np.float32))
+    ref_d, ref_h = midas_dpt_forward(tiny, x, TINY, attn_impl="xla")
+    got_d, got_h = midas_dpt_forward(tiny, x, TINY, attn_impl="fused")
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                               rtol=2e-5, atol=2e-5)
+    for k in ref_h:
+        np.testing.assert_allclose(np.asarray(got_h[k]), np.asarray(ref_h[k]),
+                                   rtol=2e-5, atol=2e-5)
