@@ -39,6 +39,8 @@ class UnlabeledImageFolder:
 
 
 def main(argv=None):
+    from depthg_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     overrides = cli_overrides(argv if argv is not None else sys.argv[1:])
     cfg = load_config("demo_config.yml", overrides)
 

@@ -197,6 +197,8 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
 
 
 def main(argv=None):
+    from depthg_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     overrides = cli_overrides(argv if argv is not None else sys.argv[1:])
     cfg = load_config("eval_config.yml", overrides)
     all_metrics = {}

@@ -111,6 +111,9 @@ def main(args):
     import jax.numpy as jnp
 
     from depthg_tpu.utils.ckpt import to_jax
+    from depthg_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
 

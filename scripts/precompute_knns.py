@@ -55,6 +55,8 @@ def embed_dataset(dataset, fcfg, params, batch_size, num_workers, precision=None
 
 
 def main(argv=None):
+    from depthg_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     overrides = cli_overrides(argv if argv is not None else sys.argv[1:])
     cfg = load_config("local_config.yml", overrides)
 

@@ -35,6 +35,8 @@ def pca3(code_hw_c: np.ndarray) -> np.ndarray:
 
 
 def main(argv=None):
+    from depthg_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import optax

@@ -109,6 +109,8 @@ def load_backbone(cfg, fcfg):
 
 
 def main(argv=None):
+    from depthg_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     overrides = cli_overrides(argv if argv is not None else sys.argv[1:])
     cfg = load_config("local_config.yml", overrides)
 
