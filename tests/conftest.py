@@ -20,3 +20,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: repeat suite runs replay identical-HLO programs
+# instead of recompiling (entries are content-keyed, so stale ones are
+# simply never hit). DEPTHG_NO_COMPILE_CACHE=1 opts out.
+from depthg_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

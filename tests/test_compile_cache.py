@@ -15,6 +15,10 @@ def test_cache_writes_entries(tmp_path, monkeypatch):
     monkeypatch.delenv("DEPTHG_NO_COMPILE_CACHE", raising=False)
     d = str(tmp_path / "xla_cache")
     assert enable_compilation_cache(d) == d
+    # conftest already initialized the cache at the default dir; the cache
+    # object pins its dir at first use, so re-point it explicitly
+    from jax.experimental.compilation_cache import compilation_cache
+    compilation_cache.reset_cache()
     # the utility's 0.5 s gate is right for real TPU programs but filters
     # this trivial one — drop it to validate the write path
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
