@@ -205,15 +205,22 @@ def run_pipeline(args, infer, params):
         # data-parallel depth generation: batch-shard each bucket dispatch
         # over the ICI mesh, params replicated (the reference's nearest
         # analogue is torch DataParallel on the KNN/eval models only —
-        # SURVEY §2.7; its depth generation is strictly single-device)
-        from depthg_tpu.parallel.mesh import (batch_sharding,
-                                              make_mesh_for_batch, replicate,
-                                              replicated)
+        # SURVEY §2.7; its depth generation is strictly single-device).
+        # shard_map rather than sharded-jit: the forward is embarrassingly
+        # batch-parallel (per-image reductions only), and the SPMD
+        # partitioner treats the Pallas attention kernels as opaque calls
+        # it would otherwise replicate behind an all-gather.
+        from jax.sharding import PartitionSpec as P
+
+        from depthg_tpu.parallel.mesh import make_mesh_for_batch, replicate
         mesh = make_mesh_for_batch(bs)
         if mesh.size > 1:
             params = replicate(params, mesh)
-            infer = jax.jit(infer, in_shardings=(replicated(mesh),
-                                                 batch_sharding(mesh)))
+            # check_vma=False: the per-shard body is closed (no collectives),
+            # and Pallas out_shapes don't declare varying mesh axes
+            infer = jax.jit(jax.shard_map(
+                infer, mesh=mesh, in_specs=(P(), P("data")),
+                out_specs=(P("data"), P("data")), check_vma=False))
             shard_n = mesh.size
             print(f"data-parallel over {mesh.size} devices", flush=True)
 

@@ -69,10 +69,11 @@ def test_bucketed_batching_writes_all_images(image_dir, tmp_path, capsys):
     pngs = sorted(out.glob("*_zoedepth.png"))
     assert len(pngs) == 7
     # every dispatch is exactly batch_size deep (tails zero-padded). The
-    # stub is jitted (and on the 8-virtual-device conftest mesh, wrapped by
-    # run_pipeline's data-parallel jit), so it records shapes per TRACE —
-    # one per size bucket, each exactly batch_size deep.
-    assert sorted(batch_shapes) == [(4, 3, 64, 96), (4, 3, 96, 64)]
+    # stub runs under run_pipeline's data-parallel shard_map on the
+    # 8-virtual-device conftest mesh (4 devices for batch 4), so it records
+    # PER-DEVICE shapes once per trace — one per size bucket, each exactly
+    # batch_size/mesh deep.
+    assert sorted(batch_shapes) == [(1, 3, 64, 96), (1, 3, 96, 64)]
     # per-image min-max normalization: each PNG spans ~the full u8 range
     for p in pngs:
         a = np.asarray(Image.open(p))
@@ -103,3 +104,51 @@ def test_midas_inversion(image_dir, tmp_path):
                    np.int32)
     # same stub depth, midas output inverted (reference generate_depth.py:192-197)
     assert np.abs((255 - a) - b).max() <= 1
+
+
+def test_sharded_fused_zoe_through_pipeline(image_dir, tmp_path, monkeypatch):
+    """A real (tiny) ZoeDepth with fused whole-KV attention through the
+    data-parallel shard_map path: Pallas-in-shard_map is the supported
+    multi-device pattern (plain sharded-jit would all-gather around the
+    opaque kernel). Interpret mode on the virtual CPU mesh."""
+    import dataclasses
+
+    import depthg_tpu.ops.attention as attn
+    from depthg_tpu.models.zoedepth import (ZoeConfig, zoedepth_forward,
+                                            zoedepth_init)
+    from depthg_tpu.models.zoedepth.beit import BEiTConfig
+    from depthg_tpu.models.zoedepth.dpt import DPTConfig
+
+    for name in ("whole_kv_mha_qkv", "whole_kv_mha"):
+        orig = getattr(attn, name)
+        monkeypatch.setattr(
+            attn, name,
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+
+    cfg = ZoeConfig(
+        n_bins=4, bin_embedding_dim=8, n_attractors=(2, 2, 1, 1),
+        img_size=(64, 96),
+        beit=BEiTConfig(embed_dim=64, depth=4, num_heads=4,
+                        pretrain_window=4, hooks=(0, 1, 2, 3),
+                        attn_impl="fused"),
+        dpt=DPTConfig(embed_dim=64, features=16,
+                      reassemble_channels=(8, 16, 32, 32)))
+    params = zoedepth_init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def infer(p, x):
+        out = zoedepth_forward(p, x, cfg)
+        return out["metric_depth"], out["feats"]
+
+    gd = _load_script("generate_depth")
+    args = gd.get_args_parser().parse_args([
+        "--data_dir", str(image_dir), "--output_dir", str(tmp_path / "out"),
+        "--batch_size", "4",
+    ])
+    os.makedirs(args.output_dir, exist_ok=True)
+    gd.run_pipeline(args, infer, params)
+    pngs = sorted((tmp_path / "out" / "val").glob("*_zoedepth.png"))
+    assert len(pngs) == 7
+    for p in pngs:
+        a = np.asarray(Image.open(p))
+        assert a.min() == 0 and a.max() == 255
