@@ -37,9 +37,11 @@ class EvalConfig:
     # backbone storage dtype: "bfloat16" halves HBM traffic for the frozen ViT
     # (~30% faster eval, ~1% mean code deviation); probes/CRF stay f32.
     backbone_dtype: str = "float32"
-    # number of devices the batch axis is sharded across — set by
-    # make_eval_step from its mesh; steers the CRF batch strategy (a lax.map
-    # over a sharded axis would serialize the whole mesh; see ops.crf)
+    # number of devices the batch axis is sharded across INSIDE this step's
+    # program. Under make_eval_step's shard_map the body sees the local
+    # batch, so this stays 1; callers embedding predictions() in their own
+    # sharded-jit program set it so the CRF batch strategy never runs a
+    # lax.map across a sharded axis (see ops.crf).
     batch_shards: int = 1
     # stack the flip-TTA pair into ONE [2B] backbone forward (tta_code).
     # Same per-sample math; doubles the backbone's peak activation memory —
@@ -129,10 +131,6 @@ def make_eval_step(fcfg, ecfg: EvalConfig, mesh=None):
     (``src/eval_segmentation.py:116``).
     """
 
-    if mesh is not None and mesh.devices.size > 1:
-        # the CRF batch strategy must know the batch axis is sharded
-        ecfg = dataclasses.replace(ecfg, batch_shards=mesh.devices.size)
-
     def step(params, img, label):
         linear_preds, cluster_preds = predictions(params, img, fcfg, ecfg)
         lin_stats = confusion_update(linear_preds, label, ecfg.n_classes, 0)
@@ -143,12 +141,23 @@ def make_eval_step(fcfg, ecfg: EvalConfig, mesh=None):
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(step)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    # shard_map rather than sharded-jit: the step is per-sample math plus a
+    # confusion-matrix sum, and the Pallas attention kernels (flash/fused
+    # backbone paths) require manual mesh axes — the SPMD partitioner treats
+    # them as opaque calls it would otherwise replicate behind an
+    # all-gather. Each device evals its local batch (the CRF batch strategy
+    # sees the LOCAL batch, so batch_shards stays 1 and no lax.map ever
+    # spans the mesh) and the [K, C] confusion blocks psum over ICI.
+    from jax.sharding import PartitionSpec as P
 
-    data = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
-    return jax.jit(step, in_shardings=(rep, data, data),
-                   out_shardings=(rep, rep))
+    def sharded_step(params, img, label):
+        lin_stats, clu_stats = step(params, img, label)
+        return (jax.lax.psum(lin_stats, "data"),
+                jax.lax.psum(clu_stats, "data"))
+
+    return jax.jit(jax.shard_map(
+        sharded_step, mesh=mesh, in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()), check_vma=False))
 
 
 def make_predict_step(fcfg, ecfg: EvalConfig):

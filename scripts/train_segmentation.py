@@ -218,6 +218,18 @@ def main(argv=None):
     multi = mesh.devices.size > 1
     if multi:
         state = mesh_lib.replicate(state, mesh)
+        if fcfg.attention_impl != "xla":
+            # The train step scales via auto-partitioned jit (threefry
+            # dropout masks stay bitwise equal to the single-device run);
+            # Pallas attention kernels require manual mesh axes, so the
+            # multi-device step pins the backbone to the XLA einsum path.
+            # (The sharded EVAL step runs under shard_map and keeps its
+            # Pallas kernels — inference.make_eval_step.)
+            import dataclasses as _dc
+            print("multi-device train: attention_impl ->"
+                  f" xla (was {fcfg.attention_impl}; Pallas kernels need"
+                  " manual mesh axes)", flush=True)
+            fcfg = _dc.replace(fcfg, attention_impl="xla")
 
     train_loader = DataLoader(train_dataset, cfg.batch_size, shuffle=True,
                               num_workers=cfg.num_workers, drop_last=True, seed=seed)
