@@ -218,7 +218,8 @@ def main(argv=None):
     multi = mesh.devices.size > 1
     if multi:
         state = mesh_lib.replicate(state, mesh)
-        if fcfg.attention_impl != "xla":
+        # (feature-pyramid backbones are conv-only — no attention field)
+        if getattr(fcfg, "attention_impl", "xla") != "xla":
             # The train step scales via auto-partitioned jit (threefry
             # dropout masks stay bitwise equal to the single-device run);
             # Pallas attention kernels require manual mesh axes, so the
