@@ -160,14 +160,24 @@ def make_eval_step(fcfg, ecfg: EvalConfig, mesh=None):
         out_specs=(P(), P()), check_vma=False))
 
 
-def make_predict_step(fcfg, ecfg: EvalConfig):
-    """Jitted: (params, img) -> (linear_preds, cluster_preds) for demo output."""
+def make_predict_step(fcfg, ecfg: EvalConfig, mesh=None):
+    """Jitted: (params, img) -> (linear_preds, cluster_preds) for demo output.
 
-    @jax.jit
+    With a multi-device ``mesh``, the batch shards under ``shard_map`` (same
+    rationale as ``make_eval_step``: Pallas kernels need manual mesh axes)
+    and the int32 prediction maps gather back along the batch axis."""
+
     def step(params, img):
         return predictions(params, img, fcfg, ecfg)
 
-    return step
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(step)
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(P(), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False))
 
 
 def make_validation_step(fcfg, n_classes: int, extra_clusters: int = 0):

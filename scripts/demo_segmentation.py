@@ -61,13 +61,18 @@ def main(argv=None):
         backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
         fused_tta=bool(cfg.get("fused_tta", True)),
     )
-    predict = make_predict_step(fcfg, ecfg)
+    bs = int(cfg.batch_size) * 2
+    from depthg_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh_for_batch(bs, cfg.get("n_devices"))
+    predict = make_predict_step(fcfg, ecfg, mesh)
     # device-resident params: numpy trees re-transfer ~88 MB per predict call
-    # on tunneled hosts (see eval_segmentation.py for the measurement)
-    params = jax.device_put(params)
+    # on tunneled hosts (see eval_segmentation.py for the measurement);
+    # replicated over the mesh in the sharded path
+    params = (mesh_lib.replicate(params, mesh) if mesh.devices.size > 1
+              else jax.device_put(params))
 
     dataset = UnlabeledImageFolder(cfg.image_dir, get_transform(cfg.res, False, "center"))
-    bs = cfg.batch_size * 2
     for start in range(0, len(dataset), bs):
         items = [dataset[i] for i in range(start, min(start + bs, len(dataset)))]
         imgs = np.stack([it[0] for it in items]).astype(np.float32)

@@ -95,3 +95,25 @@ def test_sharded_eval_matches_single_device_default_crf():
     assert total == l8.sum() and c1.sum() == c8.sum()  # same pixel count
     assert np.abs(l1 - l8).sum() <= max(2, 0.005 * total)
     assert np.abs(c1 - c8).sum() <= max(2, 0.005 * total)
+
+
+def test_sharded_predict_matches_single_device():
+    """make_predict_step on an 8-device mesh (shard_map, preds gathered
+    along batch) == single-device — the demo CLI's multi-device path."""
+    from depthg_tpu.inference import make_predict_step
+
+    tiny = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, img_size=32)
+    fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=16, vit_config=tiny)
+    ecfg = EvalConfig(n_classes=5, run_crf=True, label_res=32,
+                      crf=CRFConfig(downsample=2, block=256))
+    key = jax.random.PRNGKey(1)
+    params = {"net": featurizer_init(key, fcfg),
+              "linear_probe": linear_probe_init(key, 16, 5),
+              "cluster_probe": cluster_lookup_init(key, 16, 5)}
+    img = jnp.asarray(np.random.default_rng(1)
+                      .standard_normal((8, 3, 32, 32)).astype(np.float32))
+
+    l1, c1 = make_predict_step(fcfg, ecfg)(params, img)
+    l8, c8 = make_predict_step(fcfg, ecfg, mesh_lib.make_mesh(8))(params, img)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l8))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c8))
