@@ -89,3 +89,14 @@ def hlo_flops(compiled) -> float:
     cost = compiled.cost_analysis()
     return float((cost[0] if isinstance(cost, (list, tuple)) else cost)
                  .get("flops", 0.0))
+
+
+def median_time(fn, repeats: int = 5) -> float:
+    """Median wall time of ``fn()`` over ``repeats`` calls (seconds).
+    Pair with ``dispatch_rtt`` subtraction for dependent-chain loops."""
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return sorted(ts)[len(ts) // 2]
