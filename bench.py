@@ -83,7 +83,54 @@ def _median_time(fn, repeats=3):
     return sorted(ts)[len(ts) // 2]
 
 
+def _wait_for_tpu(max_wait_s: float, probe_timeout_s: float = 150.0) -> bool:
+    """Pre-flight: probe for a non-CPU jax device in a SUBPROCESS (importing
+    jax in-process commits this interpreter to whatever backend it finds, and
+    on tunneled runtimes the probe itself can stall — hence the timeout).
+    Retries until the device appears or the budget runs out. Returns True if
+    a real device is up. Skipped when the caller explicitly forces CPU via
+    JAX_PLATFORMS (a deliberate non-accelerator run)."""
+    import os
+    import subprocess
+    import sys
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return True
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "raise SystemExit(0 if d and d[0].platform != 'cpu' else 1)"],
+                timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"bench: no accelerator yet (attempt {attempt}); retrying",
+              flush=True)
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+
+
 def main():
+    # a flapping device tunnel must produce an explicit error line, not a
+    # hung process or an hours-long CPU "benchmark"
+    import os
+
+    wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", "900"))
+    if not _wait_for_tpu(wait_s):
+        print(json.dumps({
+            "metric": "eval_images_per_sec_per_chip", "value": None,
+            "unit": "img/s", "vs_baseline": None,
+            "error": f"no non-CPU jax device within {wait_s:.0f}s "
+                     f"(device tunnel down?)"}))
+        raise SystemExit(1)
+
     import jax
     import jax.numpy as jnp
 

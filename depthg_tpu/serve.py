@@ -43,12 +43,24 @@ __all__ = ["BatcherMetrics", "DynamicBatcher", "SegmentationService",
            "serve_http"]
 
 
-def _bucket(n: int, max_batch: int) -> int:
-    """Smallest power of two >= n, capped at max_batch (which then pads up)."""
-    b = 1
+def _bucket(n: int, max_batch: int, min_bucket: int = 1) -> int:
+    """Smallest ``min_bucket * 2^k`` >= n, capped at max_batch. All buckets
+    are multiples of ``min_bucket`` (the mesh size), so a sharded batch axis
+    always divides; ``max_batch`` itself must be such a multiple."""
+    b = min_bucket
     while b < n:
         b *= 2
-    return min(b, max_batch) if n <= max_batch else max_batch
+    return min(b, max_batch)
+
+
+def bucket_set(max_batch: int, min_bucket: int = 1) -> list[int]:
+    """Every bucket ``_bucket`` can return — the exact warmup/compile set."""
+    buckets, b = [], min_bucket
+    while b < max_batch:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_batch)
+    return buckets
 
 
 @dataclasses.dataclass
@@ -58,6 +70,7 @@ class _Pending:
     result: object = None
     error: BaseException | None = None
     t_enqueue: float = dataclasses.field(default_factory=time.monotonic)
+    abandoned: bool = False  # submitter timed out; don't spend device time
 
 
 class BatcherMetrics:
@@ -137,6 +150,9 @@ class DynamicBatcher:
         item = _Pending(payload)
         self._queue.put(item)
         if not item.event.wait(timeout):
+            item.abandoned = True  # dispatcher drops it instead of running it
+            self.metrics.record_request(
+                (time.monotonic() - item.t_enqueue) * 1e3, ok=False)
             raise TimeoutError("batch dispatch timed out")
         ok = item.error is None
         self.metrics.record_request(
@@ -149,6 +165,16 @@ class DynamicBatcher:
         self._closed = True
         self._queue.put(None)
         self._thread.join(timeout)
+        # a submit() racing close() may have enqueued behind the sentinel;
+        # fail those fast instead of letting them wait out their timeout
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except Empty:
+                return
+            if item is not None:
+                item.error = RuntimeError("batcher is closed")
+                item.event.set()
 
     def _collect(self) -> list[_Pending] | None:
         """One batch: block for the first item, then drain until full or the
@@ -179,6 +205,7 @@ class DynamicBatcher:
             batch = self._collect()
             if batch is None:
                 return
+            batch = [it for it in batch if not it.abandoned]
             if not batch:
                 if self._closed:
                     return
@@ -215,8 +242,15 @@ class SegmentationService:
         if mesh is not None and mesh.devices.size > 1:
             from depthg_tpu.parallel import mesh as mesh_lib
             self._params = mesh_lib.replicate(params, mesh)
-            # shard_map needs the batch axis divisible by the mesh
+            # shard_map needs EVERY bucket divisible by the mesh; _bucket
+            # emits min_bucket * 2^k capped at max_batch, so it suffices
+            # that max_batch itself is a multiple of the mesh size
             self._min_bucket = int(mesh.devices.size)
+            if max_batch % self._min_bucket:
+                raise ValueError(
+                    f"max_batch={max_batch} must be a multiple of the mesh "
+                    f"size {self._min_bucket} so every batch bucket shards "
+                    f"evenly")
         else:
             self._params = jax.device_put(params)
             self._min_bucket = 1
@@ -227,7 +261,7 @@ class SegmentationService:
     # -- device path ------------------------------------------------------
     def _run_batch(self, imgs: list[np.ndarray]):
         n = len(imgs)
-        b = max(_bucket(n, self.batcher.max_batch), self._min_bucket)
+        b = _bucket(n, self.batcher.max_batch, self._min_bucket)
         stacked = np.stack(imgs).astype(np.float32)
         if b > n:  # pad with copies of row 0: same compiled program per bucket
             pad = np.broadcast_to(stacked[:1], (b - n,) + stacked.shape[1:])
@@ -238,12 +272,10 @@ class SegmentationService:
         return [(linear[i], cluster[i]) for i in range(n)]
 
     def warmup(self, buckets: tuple[int, ...] | None = None) -> list[int]:
-        """Compile the predict program at each batch bucket; returns them."""
+        """Compile the predict program at each reachable batch bucket (the
+        exact set ``_run_batch`` can dispatch); returns them."""
         if buckets is None:
-            buckets, b = [], self._min_bucket
-            while b <= self.batcher.max_batch:
-                buckets.append(b)
-                b *= 2
+            buckets = bucket_set(self.batcher.max_batch, self._min_bucket)
         dummy = np.zeros((1, 3, self.res, self.res), np.float32)
         for b in buckets:
             stacked = np.broadcast_to(dummy, (b, 3, self.res, self.res))
@@ -280,6 +312,8 @@ def _encode_response(linear: np.ndarray, cluster: np.ndarray, fmt: str,
         return "application/json", json.dumps(
             {"linear": linear.tolist(), "cluster": cluster.tolist()}
         ).encode()
+    if probe not in ("linear", "cluster"):
+        raise ValueError(f"unknown probe {probe!r} (linear|cluster)")
     if fmt == "png":
         from PIL import Image
 
@@ -303,6 +337,11 @@ def serve_http(service: SegmentationService, host: str = "127.0.0.1",
     from urllib.parse import parse_qs, urlparse
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: answers curl's Expect: 100-continue instead of letting it
+        # stall ~1s before sending the body; Content-Length is always set so
+        # keep-alive connections stay in sync (bodies are drained below).
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet: metrics replace access logs
             pass
 
@@ -328,6 +367,10 @@ def serve_http(service: SegmentationService, host: str = "127.0.0.1",
 
         def do_POST(self):
             url = urlparse(self.path)
+            # drain the body FIRST: under keep-alive an unread body would
+            # desync the next request on the connection
+            length = int(self.headers.get("Content-Length", "0") or 0)
+            body = self.rfile.read(length) if length > 0 else b""
             if url.path != "/v1/segment":
                 self._send_json(404, {"error": f"no route {url.path}"})
                 return
@@ -335,13 +378,18 @@ def serve_http(service: SegmentationService, host: str = "127.0.0.1",
             fmt = q.get("format", ["npz"])[0]
             probe = q.get("probe", ["cluster"])[0]
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                if length <= 0:
+                if not body:
                     raise ValueError("empty body: POST the image bytes")
-                linear, cluster = service.segment_bytes(self.rfile.read(length))
+                linear, cluster = service.segment_bytes(body)
                 ctype, payload = _encode_response(linear, cluster, fmt, probe)
-            except Exception as e:  # noqa: BLE001 — client-visible error
+            except (ValueError, OSError) as e:  # bad image / bad params
                 self._send_json(400, {"error": str(e)})
+                return
+            except TimeoutError as e:  # device backlogged: retryable
+                self._send_json(503, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — server-side failure
+                self._send_json(500, {"error": str(e)})
                 return
             self._send(200, ctype, payload)
 

@@ -58,6 +58,33 @@ def load_segmenter(path: str):
     return torch_ckpt.to_jax(params), Config(hparams or {})
 
 
+def ecfg_from_checkpoint(cfg, params, run_cfg, n_classes: int | None = None,
+                         extra_clusters: int | None = None):
+    """EvalConfig from a loaded checkpoint + CLI cfg — the ONE construction
+    shared by the demo, serve, and eval surfaces. ``n_classes`` /
+    ``extra_clusters`` default to the checkpoint's own shape (cluster rows
+    beyond ``run_cfg.n_classes`` are extras); eval passes the dataset's
+    values explicitly."""
+    from depthg_tpu.inference import EvalConfig
+    from depthg_tpu.ops.crf import crf_config_from_cfg
+
+    if n_classes is None:
+        n_classes = int(run_cfg.get("n_classes", 27))
+    if extra_clusters is None:
+        rows = params["cluster_probe"]["clusters"].shape[0]
+        extra_clusters = rows - n_classes if rows > n_classes else 0
+    return EvalConfig(
+        n_classes=int(n_classes), extra_clusters=int(extra_clusters),
+        run_crf=bool(cfg.run_crf), label_res=int(cfg.res),
+        crf=crf_config_from_cfg(cfg),
+        precision=cfg.get("matmul_precision"),
+        # bf16 default: ~30% faster eval; probe-argmax agreement vs f32 and
+        # mIoU deltas quantified in docs/BF16_TRAIN_STUDY.md (eval-path arm)
+        backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
+        fused_tta=bool(cfg.get("fused_tta", True)),
+    )
+
+
 def save_native(path: str, params, cfg: Config | dict, extra: dict | None = None):
     """Write an orbax checkpoint with params + run cfg (+ optimizer extras)."""
     import orbax.checkpoint as ocp

@@ -19,9 +19,9 @@ from PIL import Image
 
 from depthg_tpu.config import cli_overrides, load_config
 from depthg_tpu.data import get_transform
-from depthg_tpu.inference import EvalConfig, make_predict_step
-from depthg_tpu.ops.crf import crf_config_from_cfg
-from depthg_tpu.utils.checkpoint_io import fcfg_from_run_cfg, load_segmenter
+from depthg_tpu.inference import make_predict_step
+from depthg_tpu.utils.checkpoint_io import (ecfg_from_checkpoint,
+                                            fcfg_from_run_cfg, load_segmenter)
 
 
 class UnlabeledImageFolder:
@@ -50,17 +50,7 @@ def main(argv=None):
 
     params, run_cfg = load_segmenter(cfg.model_path)
     fcfg = fcfg_from_run_cfg(run_cfg)
-    n_classes = int(run_cfg.get("n_classes", 27))
-    dim = params["cluster_probe"]["clusters"].shape
-    ecfg = EvalConfig(
-        n_classes=n_classes,
-        extra_clusters=dim[0] - n_classes if dim[0] > n_classes else 0,
-        run_crf=bool(cfg.run_crf), label_res=int(cfg.res),
-        crf=crf_config_from_cfg(cfg),
-        precision=cfg.get("matmul_precision"),
-        backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
-        fused_tta=bool(cfg.get("fused_tta", True)),
-    )
+    ecfg = ecfg_from_checkpoint(cfg, params, run_cfg)
     bs = int(cfg.batch_size) * 2
     from depthg_tpu.parallel import mesh as mesh_lib
 

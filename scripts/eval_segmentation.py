@@ -24,9 +24,9 @@ import numpy as np
 from depthg_tpu.config import Config, cli_overrides, load_config
 from depthg_tpu.data import ContrastiveSegDataset, DataLoader, get_transform
 from depthg_tpu.data.datasets import create_cityscapes_colormap, create_pascal_label_colormap
-from depthg_tpu.inference import EvalConfig, make_eval_step, make_predict_step
-from depthg_tpu.ops.crf import crf_config_from_cfg
-from depthg_tpu.utils.checkpoint_io import fcfg_from_run_cfg, load_segmenter
+from depthg_tpu.inference import make_eval_step, make_predict_step
+from depthg_tpu.utils.checkpoint_io import (ecfg_from_checkpoint,
+                                            fcfg_from_run_cfg, load_segmenter)
 from depthg_tpu.utils.metrics import SegMetrics
 
 
@@ -56,18 +56,10 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
     loader = DataLoader(dataset, cfg.batch_size * 2, shuffle=False,
                         num_workers=cfg.num_workers)
 
-    ecfg = EvalConfig(
-        n_classes=n_classes, extra_clusters=extra_clusters,
-        run_crf=bool(cfg.run_crf), label_res=int(cfg.res),
-        crf=crf_config_from_cfg(cfg),
-        precision=cfg.get("matmul_precision"),
-        # bf16 default: ~30% faster eval; probe-argmax agreement vs f32 and
-        # mIoU deltas quantified in docs/BF16_TRAIN_STUDY.md (eval-path arm)
-        backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
-        # fused_tta=false restores the sequential two-forward footprint for
-        # HBM-tight eval batches (EvalConfig.fused_tta)
-        fused_tta=bool(cfg.get("fused_tta", True)),
-    )
+    # eval passes the DATASET's class counts; demo/serve default to the
+    # checkpoint's own shape (ecfg_from_checkpoint)
+    ecfg = ecfg_from_checkpoint(cfg, params, run_cfg, n_classes=n_classes,
+                                extra_clusters=extra_clusters)
     from depthg_tpu.parallel import mesh as mesh_lib
 
     mesh = mesh_lib.make_mesh_for_batch(int(cfg.batch_size) * 2, cfg.get("n_devices"))

@@ -21,25 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_service(cfg):
     """Config -> warm ``SegmentationService`` (shared with tests)."""
-    from depthg_tpu.inference import EvalConfig
-    from depthg_tpu.ops.crf import crf_config_from_cfg
     from depthg_tpu.parallel import mesh as mesh_lib
     from depthg_tpu.serve import SegmentationService
-    from depthg_tpu.utils.checkpoint_io import fcfg_from_run_cfg, load_segmenter
+    from depthg_tpu.utils.checkpoint_io import (ecfg_from_checkpoint,
+                                                fcfg_from_run_cfg,
+                                                load_segmenter)
 
     params, run_cfg = load_segmenter(cfg.model_path)
     fcfg = fcfg_from_run_cfg(run_cfg)
-    n_classes = int(run_cfg.get("n_classes", 27))
-    dim = params["cluster_probe"]["clusters"].shape
-    ecfg = EvalConfig(
-        n_classes=n_classes,
-        extra_clusters=dim[0] - n_classes if dim[0] > n_classes else 0,
-        run_crf=bool(cfg.run_crf), label_res=int(cfg.res),
-        crf=crf_config_from_cfg(cfg),
-        precision=cfg.get("matmul_precision"),
-        backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
-        fused_tta=bool(cfg.get("fused_tta", True)),
-    )
+    ecfg = ecfg_from_checkpoint(cfg, params, run_cfg)
     # serving defaults to ONE device: batch buckets must divide the mesh, so
     # multi-chip is an explicit opt-in (n_devices=8 forces buckets >= 8)
     n_devices = cfg.get("n_devices")

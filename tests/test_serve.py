@@ -107,6 +107,36 @@ def test_dynamic_batcher_propagates_errors_per_request():
         b.close()
 
 
+def test_bucket_set_matches_dispatchable_buckets():
+    """warmup()'s enumeration must equal the set _run_batch can emit —
+    including the non-power-of-two max_batch cap and mesh minimums."""
+    from depthg_tpu.serve import _bucket, bucket_set
+
+    for max_batch, min_bucket in ((16, 1), (12, 1), (12, 6), (18, 6), (8, 8)):
+        reachable = {_bucket(n, max_batch, min_bucket)
+                     for n in range(1, max_batch + 1)}
+        assert reachable == set(bucket_set(max_batch, min_bucket)), (
+            max_batch, min_bucket)
+        assert all(b % min_bucket == 0 for b in reachable)
+
+
+def test_sharded_service_rejects_indivisible_max_batch():
+    from depthg_tpu.parallel import mesh as mesh_lib
+
+    tiny = ViTConfig(patch_size=8, embed_dim=32, depth=1, num_heads=2,
+                     img_size=32)
+    fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=16,
+                            vit_config=tiny)
+    ecfg = EvalConfig(n_classes=5, run_crf=False, label_res=32)
+    key = jax.random.PRNGKey(0)
+    params = {"net": featurizer_init(key, fcfg),
+              "linear_probe": linear_probe_init(key, 16, 5),
+              "cluster_probe": cluster_lookup_init(key, 16, 5)}
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        SegmentationService(params, fcfg, ecfg, res=32, max_batch=3,
+                            mesh=mesh_lib.make_mesh(2))
+
+
 def test_metrics_quantiles_empty_and_filled():
     m = BatcherMetrics()
     assert m.snapshot()["latency_ms_p50"] is None
@@ -179,7 +209,9 @@ def test_http_server_routes_and_batching():
         js = json.loads(urllib.request.urlopen(req, timeout=60).read())
         assert len(js["cluster"]) == 32
 
-        for bad in (f"{base}/v1/segment?format=bmp", f"{base}/v1/nope"):
+        for bad in (f"{base}/v1/segment?format=bmp",
+                    f"{base}/v1/segment?format=png&probe=liner",
+                    f"{base}/v1/nope"):
             req = urllib.request.Request(bad, data=_png_bytes(2),
                                          method="POST")
             with pytest.raises(urllib.error.HTTPError) as exc:
