@@ -13,6 +13,7 @@ Subcommands:
   train  full production train_step: attention_impl x backbone_dtype
   zoe    ZoeDepth forward: BEiT attn_impl (xla|fused) x dtype (bf16|int8) x batch
   attn   raw attention kernel sweep at a given padded sequence length
+  eval   fused eval step at the CLI default: full vs no-CRF vs unfused TTA
 
 ``--tiny`` swaps in reduced model configs so the plumbing runs on CPU in
 seconds (numbers are then meaningless — it exists for smoke tests/CI).
@@ -226,6 +227,76 @@ def cmd_zoe(args):
             print(f"  fidelity {arm} vs {ref}: cosine {cos:.6f}", flush=True)
 
 
+def cmd_eval(args):
+    """Decompose the eval step at the CLI-default operating point: the full
+    fused program (TTA backbone + probes + dense CRF + confusion), the same
+    program with the CRF off, and the derived CRF share. This is the matrix
+    behind reading bench.py's headline correctly: the quality-default CRF
+    (ds=8 jbu4, docs/CRF_FIDELITY.md) is HBM-bound splat/slice, so its cost
+    shows up in wall time but barely in cost_analysis() flops."""
+    import jax
+    import jax.numpy as jnp
+
+    from depthg_tpu.inference import EvalConfig, predictions
+    from depthg_tpu.models.featurizer import featurizer_init
+    from depthg_tpu.models.probes import cluster_lookup_init, linear_probe_init
+    from depthg_tpu.ops.crf import CRFConfig
+    from depthg_tpu.utils.metrics import confusion_update
+    from depthg_tpu.utils.profiling import median_time
+
+    rtt = _setup()
+    fcfg = _fcfg(args.tiny)
+    res = 64 if args.tiny else 320
+    nc = 27
+    key = jax.random.PRNGKey(0)
+    params = {
+        "net": featurizer_init(key, fcfg),
+        "linear_probe": linear_probe_init(key, fcfg.dim, nc),
+        "cluster_probe": cluster_lookup_init(key, fcfg.dim, nc),
+    }
+    rng = np.random.default_rng(0)
+    b = args.batch
+    img = jnp.asarray(rng.standard_normal((b, 3, res, res)).astype(np.float32))
+    label = jnp.asarray(rng.integers(-1, nc, size=(b, res, res)))
+    crf = CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                    dtype="bfloat16")
+    arms = {
+        "full (eval default)": EvalConfig(n_classes=nc, run_crf=True,
+                                          label_res=res, crf=crf,
+                                          backbone_dtype="bfloat16"),
+        "nocrf": EvalConfig(n_classes=nc, run_crf=False, label_res=res,
+                            backbone_dtype="bfloat16"),
+        "unfused-tta": EvalConfig(n_classes=nc, run_crf=True, label_res=res,
+                                  crf=crf, backbone_dtype="bfloat16",
+                                  fused_tta=False),
+    }
+    times = {}
+    for name, ecfg in arms.items():
+        @jax.jit
+        def loop(p, im, lb, ecfg=ecfg):
+            def body(i, carry):
+                lin, clu = predictions(p, im + carry * 1e-9, fcfg, ecfg)
+                s = (confusion_update(lin, lb, nc, 0)
+                     + confusion_update(clu, lb, nc, 0)).sum()
+                return carry + s.astype(jnp.float32) * 1e-9
+            return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
+
+        try:
+            float(loop(params, img, label))
+            dt = (median_time(lambda: float(loop(params, img, label)),
+                              args.repeats) - rtt) / args.iters
+            times[name] = dt
+            print(f"eval@{res} {name:20s}: {dt * 1e3:7.2f} ms/step-b{b} "
+                  f"({b / dt:7.1f} img/s)", flush=True)
+        except Exception as e:
+            print(f"eval@{res} {name:20s}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+    if "full (eval default)" in times and "nocrf" in times:
+        crf_ms = (times["full (eval default)"] - times["nocrf"]) * 1e3
+        print(f"derived CRF share: {crf_ms:.2f} ms/step-b{b} "
+              f"({crf_ms / b:.2f} ms/img)", flush=True)
+
+
 def cmd_attn(args):
     import jax
     import jax.numpy as jnp
@@ -267,7 +338,8 @@ def main(argv=None):
     p = argparse.ArgumentParser("perf_matrix")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("fwd", cmd_fwd), ("train", cmd_train),
-                     ("zoe", cmd_zoe), ("attn", cmd_attn)):
+                     ("zoe", cmd_zoe), ("attn", cmd_attn),
+                     ("eval", cmd_eval)):
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("--tiny", action="store_true")

@@ -20,3 +20,10 @@ def test_tiny_fwd_runs(capsys):
                   "--batch", "1", "--attn", "xla", "--dtypes", "bfloat16"])
     out = capsys.readouterr().out
     assert "ms/forward" in out and "FAILED" not in out
+
+
+def test_tiny_eval_runs(capsys):
+    _load().main(["eval", "--tiny", "--iters", "1", "--repeats", "1",
+                  "--batch", "1"])
+    out = capsys.readouterr().out
+    assert "derived CRF share" in out and "FAILED" not in out
