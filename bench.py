@@ -39,12 +39,16 @@ Numbers reported (all on ONE chip):
 
 Precision/operating point of the eval path: bf16 backbone (tanh-GELU) + the
 EVAL CLI DEFAULT CRF — downsample=8 with 4-phase joint-bilateral splat/slice
-(``CRFConfig.splat_phases``, widened splat sigma 1.8) and bf16 mean-field
-state, the operating point validated in docs/CRF_FIDELITY.md (~98.8% label
-agreement with the reference's permutohedral lattice, ~90% of its mIoU gain
-on deliberately hard synthetic scenes — MORE gain than plain ds=2 at ~1/7
-its cost). The bench measures exactly what ``scripts/eval_segmentation.py``
-runs by default: one operating point, one story. Probes, softmaxes and the
+(``CRFConfig.splat_phases``, widened splat sigma 1.8), bf16 mean-field
+state, and a 3-iteration coarse prefix (``CRFConfig.coarse_prefix`` — the
+first 3 mean-field iterations run on the coarse phase-point set where a
+message is one small MXU matmul, the last 7 at full resolution), the
+operating point validated in docs/CRF_FIDELITY.md (~98.7% label agreement
+with the reference's permutohedral lattice, ~90% of its mIoU gain on
+deliberately hard synthetic scenes — MORE gain than plain ds=2 at ~1/8 its
+cost). The config is built by ``ops.crf.crf_config_from_cfg({})`` — the
+same constructor ``scripts/eval_segmentation.py`` uses by default: one
+operating point, one story. Probes, softmaxes and the
 CRF unary stay f32; the bilateral log-kernel matmul is pinned to full f32
 (see ops/crf.py — the MXU default silently destroys it).
 
@@ -137,7 +141,7 @@ def main():
     from depthg_tpu.inference import EvalConfig, predictions
     from depthg_tpu.models.featurizer import FeaturizerConfig, featurizer_init
     from depthg_tpu.models.probes import cluster_lookup_init, linear_probe_init
-    from depthg_tpu.ops.crf import CRFConfig
+    from depthg_tpu.ops.crf import crf_config_from_cfg
     from depthg_tpu.utils.metrics import confusion_update
     from depthg_tpu.utils.profiling import dispatch_rtt, hlo_flops
 
@@ -145,10 +149,10 @@ def main():
     rtt = dispatch_rtt(repeats=5)
 
     fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=70)
-    # the eval CLI default operating point (ops.crf.crf_config_from_cfg)
+    # the eval CLI default operating point, taken from the SAME constructor
+    # the CLIs use so bench and eval cannot drift apart
     ecfg = EvalConfig(n_classes=27, run_crf=True, label_res=320,
-                      crf=CRFConfig(downsample=8, splat_phases=4,
-                                    splat_sigma_factor=1.8, dtype="bfloat16"),
+                      crf=crf_config_from_cfg({}),
                       backbone_dtype="bfloat16")
 
     key = jax.random.PRNGKey(0)

@@ -108,29 +108,49 @@ class CRFConfig:
     # permutohedral lattice never represents. Opt-in pending the fidelity
     # rerun on TPU.
     kernel_int8: bool = False
+    # coarse-to-fine (splat_phases mode only): run the FIRST this-many
+    # mean-field iterations entirely on the coarse phase-point set — unary =
+    # phase samples of the full-res log-unary (pure pixels, no averaging),
+    # message = the cached [N, N] bilateral matmul, symmetric-normalized by
+    # the COARSE kernel degree — then color-slice the coarse Q to full
+    # resolution and finish with (max_iter - coarse_prefix) standard
+    # full-res iterations. The full-res iterations are HBM/VPU-bound
+    # (softmax + Gaussian + splat/slice over [C, H, W] each pass,
+    # docs/PERFORMANCE.md) while a coarse iteration is one small MXU matmul,
+    # so prefix iterations are ~free. The sxy=1 Gaussian pairwise term is
+    # DROPPED during the prefix: nearest inter-point distance at ds=8/P=4 is
+    # 4 px, where exp(-d^2/2) ~ 3e-4 — it only shapes the final full-res
+    # refinements, exactly the iterations that still run it. 0 = off
+    # (quality default until the fidelity study validates a prefix point).
+    coarse_prefix: int = 0
 
 
 def crf_config_from_cfg(cfg) -> CRFConfig:
     """CRF operating point from run-config keys. Defaults = the quality/speed
     point validated in docs/CRF_FIDELITY.md (downsample=8 with 4-phase
-    joint-bilateral splat/slice, widened splat sigma, bf16 state — retains
-    ~90% of the permutohedral lattice's mIoU gain at ~6 ms/img in-batch):
-    the eval CLI default AND the bench.py headline — one operating point,
-    one story. The quality+ point (94% of the gain, ~2x slower):
-    ``crf_downsample=4`` (its per-downsample defaults follow the table).
+    joint-bilateral splat/slice, widened splat sigma, bf16 state, and a
+    3-iteration coarse prefix — retains ~90% of the permutohedral lattice's
+    mIoU gain at ~5 ms/img in-batch): the eval CLI default AND the bench.py
+    headline — one operating point, one story. The quality+ point (94% of
+    the gain, ~2x slower): ``crf_downsample=4`` (its per-downsample defaults
+    follow the table). Faster frontier points below the default:
+    ``crf_coarse_prefix=5`` (89% of the gain) / ``8`` (85%).
 
     Phase/sigma defaults track the chosen downsample so an explicit
     ``crf_downsample=2`` keeps its classic (phase-free) cost instead of
     silently quadrupling its point set."""
     ds = int(cfg.get("crf_downsample", 8))
+    phases = int(cfg.get("crf_splat_phases", {8: 4, 4: 2}.get(ds, 0)))
     return CRFConfig(
         downsample=ds,
-        splat_phases=int(cfg.get("crf_splat_phases", {8: 4, 4: 2}.get(ds, 0))),
+        splat_phases=phases,
         splat_sigma_factor=float(cfg.get("crf_splat_sigma",
                                          {8: 1.8, 4: 1.41}.get(ds, 1.0))),
         dtype=str(cfg.get("crf_dtype", "bfloat16")),
         mixed_resolution=bool(cfg.get("crf_mixed_resolution", True)),
         kernel_int8=bool(cfg.get("crf_kernel_int8", False)),
+        # coarse prefix only exists in the splat-phase mode
+        coarse_prefix=int(cfg.get("crf_coarse_prefix", 3 if phases else 0)),
     )
 
 
@@ -365,7 +385,38 @@ def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
     deg = make_apply(wgt_c)(jnp.ones((1, h, w), jnp.float32))[0]
     isd = jax.lax.rsqrt(jnp.maximum(deg, 1e-20))
     wgt_norm = wgt_c * isd.reshape(hd, ds, wd, ds)[None]
-    return make_apply(wgt_norm), deg
+
+    coarse = None
+    if ccfg.coarse_prefix > 0:
+        # tools for the coarse-prefix iterations (CRFConfig.coarse_prefix):
+        # message on the phase-point set itself, normalized by the COARSE
+        # kernel degree (the full-res degree lives in the splat weights and
+        # never sees a coarse-only iteration), and the color-weighted slice
+        # back to full resolution for the hand-off. Point order everywhere
+        # is phase-major (matches bf / apply_a's z).
+        ones_c = jnp.ones((n_pts, 1), jnp.float32)
+        deg_c = (_cached_matmul(kmat, ones_c.astype(dt), dt) if cache
+                 else _bilateral_message(bf, ones_c, ccfg.block,
+                                         ccfg.use_pallas))[:, 0]
+        isd_c = jax.lax.rsqrt(jnp.maximum(deg_c.astype(jnp.float32), 1e-20))
+
+        def coarse_message(qc):
+            """[C, n_pts] -> D^{-1/2} K D^{-1/2} qc, f32."""
+            z = (qc.astype(jnp.float32) * isd_c[None]).T.astype(dt)
+            mc = (_cached_matmul(kmat, z, dt) if cache
+                  else _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas))
+            return mc.T.astype(jnp.float32) * isd_c[None]
+
+        def slice_full(mc):
+            """Color-weighted slice [C, n_pts] -> [C, H, W]. Per-pixel scale
+            is arbitrary (the caller renormalizes over classes)."""
+            c = mc.shape[0]
+            m = jnp.moveaxis(mc.reshape(c, p, nc), 1, 0).reshape(p, c, hd, wd)
+            out = jnp.sum(m[:, :, :, None, :, None] * wgt_c[:, None], axis=0)
+            return out.reshape(c, h, w)
+
+        coarse = (coarse_message, slice_full)
+    return make_apply(wgt_norm), deg, coarse
 
 
 def _bilateral_features(image: jnp.ndarray, ccfg: CRFConfig, ds: int) -> jnp.ndarray:
@@ -410,7 +461,7 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
         # joint-bilateral splat/slice: pure-color phase grids, color-weighted
         # transfer operator, full-resolution degree (CRFConfig.splat_phases);
         # the operator returns the D^{-1/2} A D^{-1/2}-normalized message
-        jbu_apply, _ = _jbu_operator(image, ccfg, ds, dt, phases)
+        jbu_apply, _, jbu_coarse = _jbu_operator(image, ccfg, ds, dt, phases)
     else:
         if ds > 1:
             image_d = resize_bilinear(image[None].astype(jnp.float32), (hd, wd))[0]
@@ -469,7 +520,32 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
             return blockwise_softmax(log_unary + ccfg.pos_w * mg.astype(jnp.float32)
                                      + ccfg.bi_w * mb.astype(jnp.float32))
 
-        q = jax.lax.fori_loop(0, ccfg.max_iter, mf_iter, probs.astype(dt))
+        cp = min(int(ccfg.coarse_prefix), ccfg.max_iter) if phases else 0
+        if cp:
+            # coarse-prefix iterations (CRFConfig.coarse_prefix): state lives
+            # on the phase-point set; the unary is the pure-pixel phase
+            # samples of the full-res log-unary (strided gather — phases are
+            # exact pixel subsets, nothing is averaged)
+            cmsg, slice_full = jbu_coarse
+            cch = log_unary.shape[0]
+            lu_c = jnp.concatenate(
+                [log_unary[:, oy::ds, ox::ds].reshape(cch, -1)
+                 for oy, ox in phases], axis=1)  # [C, n_pts] phase-major
+
+            def cf_iter(_, qc):
+                return blockwise_softmax(lu_c + ccfg.bi_w * cmsg(qc))
+
+            qc = jax.lax.fori_loop(0, cp, cf_iter, blockwise_softmax(lu_c))
+            # hand-off: color-slice coarse Q to full res, renormalize each
+            # logit set over classes (the slice's per-pixel scale cancels)
+            sliced = jnp.split(slice_full(qc.astype(jnp.float32)), splits, 0)
+            q0 = jnp.concatenate(
+                [s / jnp.maximum(s.sum(axis=0, keepdims=True), 1e-20)
+                 for s in sliced], axis=0).astype(dt)
+        else:
+            q0 = probs.astype(dt)
+
+        q = jax.lax.fori_loop(0, ccfg.max_iter - cp, mf_iter, q0)
         return jnp.split(q.astype(jnp.float32), splits, axis=0)
 
     # legacy: entire mean field at the working resolution

@@ -108,7 +108,7 @@ def miou_acc(pred, gt, n_classes):
 
 
 def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
-              include_native=True):
+              include_native=True, only=None):
     import jax
     import jax.numpy as jnp
 
@@ -139,7 +139,7 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
                    block=block, dtype="bfloat16")),
         ("ds=4 jbu4 bf16", CRFConfig(downsample=4, splat_phases=4, block=block,
                                      dtype="bfloat16")),
-        ("ds=8 jbu4 sf1.8 bf16 (eval default + bench)",
+        ("ds=8 jbu4 sf1.8 bf16 (no prefix)",
          CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
                    block=block, dtype="bfloat16")),
         # int8-quantized kernel cache at the default point: halves the
@@ -159,7 +159,26 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
         ("ds=8 jbu1 sf2.2 bf16", CRFConfig(downsample=8, splat_phases=1,
                                            splat_sigma_factor=2.2,
                                            block=block, dtype="bfloat16")),
+        # coarse-to-fine candidates (CRFConfig.coarse_prefix): the first cp
+        # iterations run on the coarse phase-point set (one small MXU matmul
+        # each — ~free next to a full-res iteration, docs/PERFORMANCE.md
+        # decomposition), the rest at full resolution as the default does
+        ("ds=8 jbu4 sf1.8 cp3 bf16 (eval default + bench)",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=3)),
+        ("ds=8 jbu4 sf1.8 cp4 bf16",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=4)),
+        ("ds=8 jbu4 sf1.8 cp5 bf16",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=5)),
+        ("ds=8 jbu4 sf1.8 cp8 bf16",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=8)),
     ]
+    if only:
+        configs = [(n, c) for n, c in configs
+                   if any(s in n for s in only)]
 
     rows = []
 
@@ -308,11 +327,16 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--block", type=int, default=1024)
     ap.add_argument("--out", default=None, help="write markdown table here")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated substrings: run only matching "
+                         "configs (lattice/unary rows always run)")
     args = ap.parse_args(argv)
 
     import jax
 
-    rows = run_study(args.size, args.images, args.classes, args.seed, args.block)
+    rows = run_study(args.size, args.images, args.classes, args.seed,
+                     args.block,
+                     only=args.only.split(",") if args.only else None)
     table = format_table(rows, args.size, args.images, args.classes,
                          jax.devices()[0].platform)
     print(table)

@@ -240,7 +240,7 @@ def cmd_eval(args):
     from depthg_tpu.inference import EvalConfig, predictions
     from depthg_tpu.models.featurizer import featurizer_init
     from depthg_tpu.models.probes import cluster_lookup_init, linear_probe_init
-    from depthg_tpu.ops.crf import CRFConfig
+    from depthg_tpu.ops.crf import crf_config_from_cfg
     from depthg_tpu.utils.metrics import confusion_update
     from depthg_tpu.utils.profiling import median_time
 
@@ -258,8 +258,7 @@ def cmd_eval(args):
     b = args.batch
     img = jnp.asarray(rng.standard_normal((b, 3, res, res)).astype(np.float32))
     label = jnp.asarray(rng.integers(-1, nc, size=(b, res, res)))
-    crf = CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
-                    dtype="bfloat16")
+    crf = crf_config_from_cfg({})  # the CLIs' own default operating point
     arms = {
         "full (eval default)": EvalConfig(n_classes=nc, run_crf=True,
                                           label_res=res, crf=crf,

@@ -142,7 +142,8 @@ def test_jbu_operator_matches_explicit_matrix():
     image = rng.uniform(0, 255, (3, h, w)).astype(np.float32)
     ccfg = CRFConfig(downsample=ds, splat_phases=2, block=8)
     phases = _phase_offsets(2, ds)
-    apply_a, deg = _jbu_operator(jnp.asarray(image), ccfg, ds, jnp.float32, phases)
+    apply_a, deg, _ = _jbu_operator(jnp.asarray(image), ccfg, ds, jnp.float32,
+                                    phases)
 
     # explicit numpy construction
     hd, wd = h // ds, w // ds
@@ -198,6 +199,42 @@ def test_jbu_crf_end_to_end_and_batch():
     np.testing.assert_allclose(np.asarray(qb[0]),
                                np.asarray(dense_crf(imgs[0], lgs[0], ccfg)),
                                atol=1e-5)
+
+
+def test_jbu_coarse_prefix_variants():
+    """CRFConfig.coarse_prefix: a prefix of coarse-point iterations plus
+    full-res refinements must stay a valid distribution per logit set, agree
+    closely with the all-full-res run on easy structure, and run at the
+    all-coarse extreme (prefix = max_iter: hand-off only)."""
+    import dataclasses
+
+    from depthg_tpu.ops.crf import CRFConfig, dense_crf_multi
+
+    rng = np.random.default_rng(11)
+    # piecewise-constant color scene with noisy logits favoring 2 segments
+    image = np.zeros((3, 32, 32), np.float32)
+    image[:, :, :16] = np.array([200.0, 30.0, 40.0])[:, None, None]
+    image[:, :, 16:] = np.array([20.0, 180.0, 220.0])[:, None, None]
+    logits = rng.standard_normal((5, 8, 8)).astype(np.float32) * 0.5
+    logits[0, :, :4] += 2.0
+    logits[1, :, 4:] += 2.0
+    lg2 = rng.standard_normal((3, 8, 8)).astype(np.float32)
+    base = CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                     block=64, max_iter=6)
+    outs = {}
+    for cp in (0, 4, 6):
+        ccfg = dataclasses.replace(base, coarse_prefix=cp)
+        qa, qb = dense_crf_multi(jnp.asarray(image),
+                                 [jnp.asarray(logits), jnp.asarray(lg2)], ccfg)
+        for q, c in ((qa, 5), (qb, 3)):
+            assert q.shape == (c, 32, 32)
+            assert np.isfinite(np.asarray(q)).all()
+            s = np.asarray(q).sum(0)
+            np.testing.assert_allclose(s, np.ones_like(s), atol=2e-2)
+        outs[cp] = np.asarray(qa).argmax(0)
+    # the prefix run must land on (nearly) the same labels as all-full-res
+    assert (outs[4] == outs[0]).mean() > 0.97
+    assert (outs[6] == outs[0]).mean() > 0.9
 
 
 def test_jbu_default_handles_odd_resolution():

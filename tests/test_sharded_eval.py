@@ -71,7 +71,7 @@ def test_sharded_eval_matches_single_device_default_crf():
     ecfg = EvalConfig(n_classes=5, run_crf=True, label_res=32,
                       crf=CRFConfig(downsample=8, splat_phases=4,
                                     splat_sigma_factor=1.8, dtype="bfloat16",
-                                    block=64))
+                                    coarse_prefix=3, block=64))
     key = jax.random.PRNGKey(1)
     params = {"net": featurizer_init(key, fcfg),
               "linear_probe": linear_probe_init(key, 16, 5),
