@@ -149,8 +149,14 @@ def crf_config_from_cfg(cfg) -> CRFConfig:
         dtype=str(cfg.get("crf_dtype", "bfloat16")),
         mixed_resolution=bool(cfg.get("crf_mixed_resolution", True)),
         kernel_int8=bool(cfg.get("crf_kernel_int8", False)),
-        # coarse prefix only exists in the splat-phase mode
-        coarse_prefix=int(cfg.get("crf_coarse_prefix", 3 if phases else 0)),
+        # coarse-prefix default keyed to the ONE fidelity-validated point
+        # (ds=8, 4 phases — docs/CRF_FIDELITY.md): the prefix's
+        # drop-the-Gaussian justification needs >= 4 px between coarse
+        # points (exp(-d^2/2) ~ 3e-4); at ds=4/P=2 the spacing is ~2.8 px
+        # (exp ~ 0.018) and the approximation is unvalidated, so explicit
+        # finer downsamples keep prefix 0 unless overridden.
+        coarse_prefix=int(cfg.get("crf_coarse_prefix",
+                                  3 if (ds == 8 and phases == 4) else 0)),
     )
 
 
@@ -520,7 +526,10 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
             return blockwise_softmax(log_unary + ccfg.pos_w * mg.astype(jnp.float32)
                                      + ccfg.bi_w * mb.astype(jnp.float32))
 
-        cp = min(int(ccfg.coarse_prefix), ccfg.max_iter) if phases else 0
+        # clamp below at 0: a negative value would unpack absent coarse tools
+        # and run extra full-res iterations
+        cp = (min(max(int(ccfg.coarse_prefix), 0), ccfg.max_iter)
+              if phases else 0)
         if cp:
             # coarse-prefix iterations (CRFConfig.coarse_prefix): state lives
             # on the phase-point set; the unary is the pure-pixel phase

@@ -308,3 +308,36 @@ def test_int8_kernel_cache_matches_f32():
     qa, qb = dense_crf_multi(image, [logits, lg2], cc)
     assert qa.shape == (5, 32, 32) and qb.shape == (4, 32, 32)
     np.testing.assert_allclose(np.asarray(qa.sum(0)), 1.0, atol=1e-3)
+
+
+def test_crf_config_prefix_keyed_to_validated_point():
+    """crf_config_from_cfg: the coarse-prefix default exists ONLY at the
+    fidelity-validated ds=8/4-phase point; explicit finer downsamples get 0
+    unless overridden (ADVICE r3: the prefix's drop-the-Gaussian argument
+    breaks below ~4 px coarse-point spacing)."""
+    from depthg_tpu.ops.crf import crf_config_from_cfg
+
+    assert crf_config_from_cfg({}).coarse_prefix == 3
+    assert crf_config_from_cfg({"crf_downsample": 4}).coarse_prefix == 0
+    assert crf_config_from_cfg({"crf_downsample": 2}).coarse_prefix == 0
+    # explicit override always wins
+    assert crf_config_from_cfg(
+        {"crf_downsample": 4, "crf_coarse_prefix": 2}).coarse_prefix == 2
+
+
+def test_negative_coarse_prefix_clamps():
+    """A negative coarse_prefix must behave like 0 (ADVICE r3: it used to
+    unpack absent coarse tools at trace time and run extra iterations)."""
+    import dataclasses
+
+    from depthg_tpu.ops.crf import CRFConfig, dense_crf_multi
+
+    rng = np.random.default_rng(3)
+    image = jnp.asarray(rng.uniform(0, 255, (3, 32, 32)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((4, 8, 8)).astype(np.float32))
+    base = CRFConfig(downsample=8, splat_phases=4, block=64, max_iter=3)
+    (q_neg,) = dense_crf_multi(image, [logits],
+                               dataclasses.replace(base, coarse_prefix=-2))
+    (q0,) = dense_crf_multi(image, [logits],
+                            dataclasses.replace(base, coarse_prefix=0))
+    np.testing.assert_allclose(np.asarray(q_neg), np.asarray(q0), atol=1e-6)
