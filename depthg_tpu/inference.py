@@ -109,9 +109,21 @@ def predictions(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
         guidance = unnormalize_255(img)
         if guidance.shape[-1] != ecfg.label_res:
             guidance = resize_bilinear(guidance, (ecfg.label_res, ecfg.label_res))
+        # This CRF shares ONE XLA program with the backbone forward above,
+        # so "auto" batching must resolve to vmap: on v5e, lax.map over the
+        # cached-kernel coarse-prefix mean field composed with a large
+        # backbone deterministically crashes the TPU worker, while the
+        # identical math under vmap runs fine (bisect matrix in
+        # scripts/bisect_compose.py; regression tests/test_tpu_composed_eval
+        # .py). An explicit "map" override is honored — callers who split
+        # eval into two dispatches get the faster sequential loop via
+        # eval_logits + their own CRF program instead.
+        ccfg = ecfg.crf
+        if ccfg.batch_strategy == "auto":
+            ccfg = dataclasses.replace(ccfg, batch_strategy="vmap")
         # one fused mean field: both probes share the image's pairwise kernel
         linear_q, cluster_q = dense_crf_multi_batch(
-            guidance, [linear_log, cluster_log], ecfg.crf,
+            guidance, [linear_log, cluster_log], ccfg,
             n_shards=ecfg.batch_shards)
         linear_preds = jnp.argmax(linear_q, 1)
         cluster_preds = jnp.argmax(cluster_q, 1)

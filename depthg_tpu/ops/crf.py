@@ -123,6 +123,24 @@ class CRFConfig:
     # refinements, exactly the iterations that still run it. 0 = off
     # (quality default until the fidelity study validates a prefix point).
     coarse_prefix: int = 0
+    # batch strategy for the batched wrappers (``dense_crf_batch`` /
+    # ``dense_crf_multi_batch``). "auto" picks by cache state and mesh:
+    # lax.map one image at a time on a single device when the kernel cache
+    # is active (fastest STANDALONE configuration — see _batch_apply's
+    # measurements), vmap otherwise. "vmap" forces whole-batch vmap and is
+    # REQUIRED whenever the CRF shares one XLA program with a large
+    # backbone forward: on v5e the composed program — ViT flip-TTA +
+    # probes + lax.map over the cached-kernel coarse-prefix mean field —
+    # deterministically crashes the TPU worker ("kernel fault"), while the
+    # identical math under vmap runs fine. Bisect matrix
+    # (scripts/bisect_compose.py, r4): composed lax.map FAILS with cache +
+    # coarse_prefix in {1, 3} and remaining full-res iterations, f32/bf16/
+    # int8 alike; PASSES with cache off, prefix 0, prefix = max_iter, or
+    # vmap batching; the CRF ALONE passes in every configuration.
+    # ``inference.predictions`` resolves "auto" to "vmap" for exactly this
+    # reason. "map" forces the sequential loop (single device only — a
+    # scan's leading axis cannot stay partitioned over a mesh).
+    batch_strategy: str = "auto"
 
 
 def crf_config_from_cfg(cfg) -> CRFConfig:
@@ -541,10 +559,20 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
                 [log_unary[:, oy::ds, ox::ds].reshape(cch, -1)
                  for oy, ox in phases], axis=1)  # [C, n_pts] phase-major
 
-            def cf_iter(_, qc):
+            def cf_iter(qc):
                 return blockwise_softmax(lu_c + ccfg.bi_w * cmsg(qc))
 
-            qc = jax.lax.fori_loop(0, cp, cf_iter, blockwise_softmax(lu_c))
+            # UNROLLED (python loop, cp <= max_iter = 10 tiny MXU matmuls):
+            # the composed-eval program is only TPU-validated in exactly
+            # this form. Unrolling ALONE does not fix the r3 worker crash
+            # (lax.map batching still faults — bisect round 2); vmap
+            # batching with a rolled fori_loop here compiled >15 min on
+            # v5e (timeout) where unroll+vmap compiles and runs. Keep the
+            # prefix unrolled and the batch strategy "vmap" for composed
+            # programs (see CRFConfig.batch_strategy).
+            qc = blockwise_softmax(lu_c)
+            for _ in range(cp):
+                qc = cf_iter(qc)
             # hand-off: color-slice coarse Q to full res, renormalize each
             # logit set over classes (the slice's per-pixel scale cancels)
             sliced = jnp.split(slice_full(qc.astype(jnp.float32)), splits, 0)
@@ -617,15 +645,17 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
     """Pick the batch strategy around per-image kernel caching.
 
     * no kernel cache (streaming tiles) -> vmap;
-    * cache active, single device -> lax.map one image per step (the
-      fastest configuration, not just a memory fallback — see the inline
-      measurements);
-    * cache active, sharded mesh -> vmap if the per-device kernels fit,
-      else DISABLE the cache and vmap the streaming path. A lax.map over a
-      sharded batch axis would be wrong: a scan's leading axis cannot stay
-      partitioned, so GSPMD would gather every shard to every device and
-      serialize the whole batch — n_devices x the work of streaming in
-      parallel.
+    * cache active, strategy "map" (or "auto" on a single device) ->
+      lax.map one image per step (the fastest STANDALONE configuration,
+      not just a memory fallback — see the inline measurements). NEVER
+      valid composed with a backbone in one program: see
+      ``CRFConfig.batch_strategy`` for the v5e worker-crash bisection.
+    * cache active, strategy "vmap" (or "auto" on a sharded mesh) -> vmap
+      if the per-device kernels fit the budget, else DISABLE the cache and
+      vmap the streaming path. A lax.map over a sharded batch axis would
+      be wrong regardless: a scan's leading axis cannot stay partitioned,
+      so GSPMD would gather every shard to every device and serialize the
+      whole batch — n_devices x the work of streaming in parallel.
 
     ``make_fn``: ccfg -> (image, *logits) -> result, so the strategy can
     rebuild the per-image closure with caching disabled.
@@ -642,8 +672,11 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
     if n_phases:
         n_pts *= n_phases  # JBU point set = P phase grids
     per_img = _kernel_cache_bytes(n_pts, ccfg)
+    strategy = ccfg.batch_strategy
+    if strategy == "map" and n_shards > 1:
+        strategy = "vmap"  # a scan's leading axis cannot stay partitioned
     if per_img is not None:
-        if n_shards <= 1:
+        if strategy == "map" or (strategy == "auto" and n_shards <= 1):
             # one image at a time is FASTEST on one device whenever the
             # kernel cache is active, not just a memory fallback: a single
             # image's [N, N] kernel matmuls already saturate the chip and
@@ -656,9 +689,8 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
                                (images, *batched_args))
         per_dev = -(-b // n_shards) * per_img  # ceil: uneven shards hold more
         if per_dev > _VMAP_KERNEL_BUDGET_BYTES:
-            # sharded + kernels too big per device: a lax.map here would
-            # serialize the mesh (a scan's leading axis cannot stay
-            # partitioned), so drop the cache and vmap the streaming path
+            # kernels too big per device under vmap: drop the cache and
+            # vmap the streaming path (tiles recomputed per iteration)
             streaming = make_fn(dataclasses.replace(ccfg, kernel_cache_mb=0))
             return jax.vmap(streaming)(images, *batched_args)
     return jax.vmap(make_fn(ccfg))(images, *batched_args)
