@@ -30,7 +30,22 @@ from depthg_tpu.utils.checkpoint_io import (ecfg_from_checkpoint,
 from depthg_tpu.utils.metrics import SegMetrics
 
 
-def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
+def _maybe_wandb(cfg: Config):
+    """Optional wandb run, gated exactly like the train CLI (reference eval
+    logs metrics + plots to wandb, ``src/eval_segmentation.py:190-247``)."""
+    if not cfg.get("wandb_logging"):
+        return None
+    try:
+        import wandb
+    except ImportError:
+        print("wandb_logging=True but wandb is not installed; json logs only")
+        return None
+    wandb.init(project="depthg-tpu", name=f"eval-{cfg.experiment_name}",
+               config=dict(cfg), job_type="eval")
+    return wandb
+
+
+def evaluate_checkpoint(model_path: str, cfg: Config, wandb=None) -> dict:
     params, run_cfg = load_segmenter(model_path)
     fcfg = fcfg_from_run_cfg(run_cfg)
     dataset_name = run_cfg.get("dataset_name", "cocostuff27")
@@ -141,6 +156,9 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
                "images_per_sec_end_to_end": n_images / dt, "n_images": n_images}
     print(model_path)
     print(json.dumps(metrics, indent=2))
+    if wandb is not None:
+        wandb.log({k: v for k, v in metrics.items()
+                   if isinstance(v, (int, float))})
 
     if cfg.get("run_prediction", False):
         result_dir = join(cfg.output_root, "predictions", cfg.experiment_name)
@@ -185,6 +203,11 @@ def evaluate_checkpoint(model_path: str, cfg: Config) -> dict:
                                     extra_clusters)
         except ValueError:
             pass  # datasets without a reference class-name list
+        if wandb is not None:  # the reference's wandb.Image plot uploads
+            wandb.log({
+                "predictions": wandb.Image(join(result_dir, "prediction_grid.png")),
+                "confusion": wandb.Image(join(result_dir, "confusion.png")),
+            })
     return metrics
 
 
@@ -193,9 +216,10 @@ def main(argv=None):
     enable_compilation_cache()
     overrides = cli_overrides(argv if argv is not None else sys.argv[1:])
     cfg = load_config("eval_config.yml", overrides)
+    wandb = _maybe_wandb(cfg)
     all_metrics = {}
     for model_path in cfg.model_paths:
-        all_metrics[model_path] = evaluate_checkpoint(model_path, cfg)
+        all_metrics[model_path] = evaluate_checkpoint(model_path, cfg, wandb)
     out_path = join(cfg.output_root, "eval_metrics.json")
     os.makedirs(cfg.output_root, exist_ok=True)
     with open(out_path, "w") as f:
