@@ -1,0 +1,58 @@
+"""bench.py crash containment (VERDICT r3 item 2): a TPU-worker-style crash
+in any measurement child must DOWNGRADE the artifact (fallback operating
+point + recorded reason), never erase it (r3 shipped rc=1 and lost the
+round's perf artifact).
+
+Runs the real orchestrator as a subprocess on the CPU backend with
+``BENCH_SMOKE=1`` (tiny shapes) and ``BENCH_FAULT_INJECT`` simulating the
+worker crash killing named children."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+
+
+def _run_bench(fault: str = "", timeout: int = 900):
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "BENCH_SMOKE": "1",
+        "BENCH_FAULT_INJECT": fault,
+        "BENCH_PHASE_TIMEOUT_S": "600",
+        # children must not inherit the test harness's 8-device split
+        "XLA_FLAGS": "",
+    })
+    r = subprocess.run([sys.executable, BENCH], capture_output=True,
+                       text=True, timeout=timeout, env=env)
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert line, f"no JSON line in stdout: {r.stdout!r}\nstderr: {r.stderr[-2000:]}"
+    return r.returncode, json.loads(line[-1])
+
+
+@pytest.mark.slow
+def test_bench_smoke_default_point():
+    rc, out = _run_bench()
+    assert rc == 0
+    assert out["value"] is not None and out["value"] > 0
+    assert out["operating_point"] == "default"
+    assert out["vs_baseline"] is not None
+    assert "train_step_ms_b16" in out
+
+
+@pytest.mark.slow
+def test_bench_crash_falls_back_and_still_reports():
+    # kill the default AND two_dispatch eval children like a worker crash:
+    # the orchestrator must land on the documented safe point with reasons
+    rc, out = _run_bench(fault="eval:default,eval:two_dispatch,train:default")
+    assert rc == 0, out
+    assert out["value"] is not None and out["value"] > 0
+    assert out["operating_point"] == "safe"
+    reasons = out["eval_fallback_reason"]
+    assert len(reasons) == 2 and "rc=42" in reasons[0]
+    # train child died too: recorded, not fatal
+    assert "train_error" in out and "rc=42" in out["train_error"]
