@@ -99,14 +99,16 @@ class CRFConfig:
     # store the cached kernel int8 (fixed scale 127: entries are
     # exp(-d^2/2) in (0, 1]) and run each mean-field message as an
     # int8 x int8 -> int32 MXU matmul against a per-call dynamically-scaled
-    # int8 copy of the distributions. Halves the cache's HBM read — the
-    # dominant per-iteration cost once the kernel is materialized — and
-    # doubles its footprint headroom (the sharded vmap path keeps caching
-    # at twice the batch). Quantization error <= 0.5/127 per entry (~the
-    # bf16 rounding already accepted by dtype="bfloat16"); entries below
-    # 1/254 round to zero, truncating the same far tail the reference's
-    # permutohedral lattice never represents. Opt-in pending the fidelity
-    # rerun on TPU.
+    # int8 copy of the distributions. Quantization error <= 0.5/127 per
+    # entry (~the bf16 rounding already accepted by dtype="bfloat16");
+    # entries below 1/254 round to zero, truncating the same far tail the
+    # reference's permutohedral lattice never represents. MEASURED SLOWER
+    # on v5e (scripts/profile_crf.py, eval default batch 16: 17.9 vs
+    # 10.6 ms/img): this jaxlib lowers the int8 dot through a conversion
+    # path instead of a native int8 MXU pass, so the halved HBM read buys
+    # nothing. Stays opt-in for its real remaining value — halving the
+    # cache FOOTPRINT so the sharded vmap path keeps caching at twice the
+    # per-device batch (_VMAP_KERNEL_BUDGET_BYTES).
     kernel_int8: bool = False
     # coarse-to-fine (splat_phases mode only): run the FIRST this-many
     # mean-field iterations entirely on the coarse phase-point set — unary =
@@ -295,26 +297,33 @@ def _kernel_tile(fa, sa, fbj, sbj, dtype):
 def _bilateral_kernel(feats: jnp.ndarray, block: int, dtype) -> jnp.ndarray:
     """Materialized [N, N] kernel k_ij = exp(-||f_i - f_j||^2 / 2).
 
-    Built from the same symmetric ``_kernel_tile`` math as the streaming
-    path (each off-diagonal tile exp'd once, written both ways). With the
-    kernel resident, every mean-field message is one [N, N] x [N, C] MXU
-    matmul — the exp cost (the VPU-bound dominant term) is paid once
-    instead of once per message (10 iterations + degree), measured ~2.5x
-    faster at downsample=4 on v5e.
-    """
+    With the kernel resident, every mean-field message is one
+    [N, N] x [N, C] MXU matmul — the exp cost (the VPU-bound dominant term)
+    is paid once instead of once per message (10 iterations + degree),
+    measured ~2.5x faster at downsample=4 on v5e.
+
+    Built as vmapped ROW-BLOCK tiles (each off-diagonal entry exp'd twice):
+    an earlier version reused the streaming path's symmetric trick — exp
+    each [blk, blk] tile once, scatter it to (i, j) and its transpose to
+    (j, i) — but the 15 sequential ``.at[].set`` scatters on the [N, N]
+    buffer cost far more than the saved transcendentals (measured v5e,
+    eval default ds=8/4-phase batch 16: build 18.4 -> 4.5 ms/batch; the
+    VPU does 2x the exps in ~0.7 ms while the scatters rewrote the 1.3 GB
+    batched kernel repeatedly). K is symmetric to ~2e-8 (measured on v5e:
+    the HIGHEST-precision f32 dot is emulated by bf16 MXU passes whose
+    cross-term accumulation order differs between the LHS and RHS roles,
+    so k_ij and k_ji round the same a.b one ulp apart) — well below the
+    bf16 cast the kernel entries get next, and mean field needs no exact
+    symmetry. The f32 log-kernel transient is bounded to one [block, N]
+    slab per vmap lane (exp + cast fuse into the tile computation)."""
     n, _ = feats.shape
     fb, sqb, nb = _block_features(feats, block)
+    feats_p = fb.reshape(nb * block, -1)
+    sq_p = sqb.reshape(nb * block)
 
-    kmat = jnp.zeros((nb, block, nb, block), dtype)
-    for d in range(nb):
-        m = nb - d
-        k = jax.vmap(lambda a, s, bj, sj: _kernel_tile(a, s, bj, sj, dtype))(
-            fb[:m], sqb[:m], fb[d:], sqb[d:])  # [m, B, B]
-        idx = jnp.arange(m)
-        kmat = kmat.at[idx, :, idx + d, :].set(k)
-        if d:
-            kmat = kmat.at[idx + d, :, idx, :].set(jnp.swapaxes(k, -1, -2))
-    return kmat.reshape(nb * block, nb * block)[:n, :n]
+    k = jax.vmap(lambda a, s: _kernel_tile(a, s, feats_p, sq_p, dtype))(
+        fb, sqb)  # [nb, block, Np]
+    return k.reshape(nb * block, nb * block)[:n, :n]
 
 
 def _phase_offsets(p: int, ds: int) -> list:

@@ -148,6 +148,10 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
         ("ds=8 jbu4 sf1.8 bf16 int8-kernel",
          CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
                    block=block, dtype="bfloat16", kernel_int8=True)),
+        ("ds=8 jbu4 sf1.8 cp3 bf16 int8-kernel",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", kernel_int8=True,
+                   coarse_prefix=3)),
         # half-point-set candidates: if either retains ~the default's mIoU
         # gain, the kernel build + per-iteration matmul cost drop ~4x/2x
         ("ds=8 jbu2 sf1.8 bf16", CRFConfig(downsample=8, splat_phases=2,
