@@ -387,11 +387,22 @@ def phase_train() -> dict:
     except Exception:
         train_tflops = float("nan")
 
+    # int8 (w8a8) frozen backbone — documented opt-in operating point
+    # (training-outcome parity across 3 seeds: docs/INT8_TRAIN_STUDY.md)
+    loop_i8 = make_train_loop(
+        step_lib.TrainHParams(n_classes=27, backbone_dtype="int8",
+                              fused_pair_forward=True))
+    float(loop_i8(state, tb))
+    dt_i8 = max(_median_time(lambda: float(loop_i8(state, tb))) - rtt,
+                1e-6) / iters
+
     return {
         "train_step_ms_b16": round(dt_tb * 1e3, 2),
         "train_img_per_sec": round(batch / dt_tb, 1),
         "train_step_ms_b16_f32_backbone": round(dt_t * 1e3, 2),
         "train_img_per_sec_f32_backbone": round(batch / dt_t, 1),
+        "train_step_ms_b16_int8_backbone": round(dt_i8 * 1e3, 2),
+        "train_img_per_sec_int8_backbone": round(batch / dt_i8, 1),
         "train_tflops_per_sec": round(train_tflops, 1),
         "train_hw_util": round(train_tflops / V5E_BF16_PEAK_TFLOPS, 3),
     }
