@@ -48,6 +48,14 @@ class EvalConfig:
     # set False to restore the sequential two-[B]-forward footprint when an
     # eval batch is sized to fill HBM.
     fused_tta: bool = True
+    # compute both probes from the LOW-RESOLUTION code (exact restructuring,
+    # r5): the 1x1 probes commute with the separable bilinear upsample, and
+    # the cluster cosine denominator |resize(code)| expands exactly through
+    # the 2-tap bilinear rows (ops.resize.resized_sq_norm) — so the
+    # [B, dim, R, R] resized code (917 MB f32 at batch 16) never exists.
+    # Same math as the reference order (resize -> probe), pinned by
+    # tests/test_inference_lowres.py; False restores the materializing path.
+    lowres_probes: bool = True
 
 
 def unnormalize_255(img: jnp.ndarray) -> jnp.ndarray:
@@ -84,27 +92,56 @@ def tta_code(params: dict, img: jnp.ndarray, fcfg, precision=None,
     return (code[:b] + code[b:][..., ::-1]) / 2
 
 
-def eval_logits(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
+def eval_logits(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig,
+                normalized: bool = True):
     """Upsampled probe logits: (linear log-softmax, cluster log-probs).
 
     ``backbone_dtype`` goes through the featurizer's own mechanism (cast
     the frozen ViT only, return f32 features) so train and eval share ONE
     precision semantics — the projection head and probes always run f32.
+
+    ``normalized=False`` skips the final log-softmaxes and returns raw
+    (shift-equivalent) logits: softmax(log_softmax(x)) == softmax(x), so a
+    caller that feeds the CRF unary (which re-softmaxes) gets the identical
+    distribution without two full-resolution [B, C, R, R] normalization
+    passes (``predictions`` uses this; argmax consumers are equally
+    shift-invariant).
     """
     bdt = None if ecfg.backbone_dtype == "float32" else ecfg.backbone_dtype
     code = tta_code(params["net"], img, fcfg, ecfg.precision,
                     backbone_dtype=bdt, fused=ecfg.fused_tta).astype(jnp.float32)
-    code = resize_bilinear(code, (ecfg.label_res, ecfg.label_res))
-    linear_log = jax.nn.log_softmax(
-        probes.linear_probe_apply(params["linear_probe"], code), axis=1)
+    res = (ecfg.label_res, ecfg.label_res)
+
+    def norm_log(x):
+        return jax.nn.log_softmax(x, axis=1) if normalized else x
+
+    if ecfg.lowres_probes:
+        # probe at code resolution, upsample 27-channel logits: exact (see
+        # EvalConfig.lowres_probes) and skips the [B, dim, R, R] intermediate
+        linear_log = norm_log(resize_bilinear(
+            probes.linear_probe_apply(params["linear_probe"], code,
+                                      precision=jax.lax.Precision.HIGHEST),
+            res))
+        cluster_log = probes.cluster_lookup_resized(
+            params["cluster_probe"], code, res, ecfg.cluster_alpha,
+            normalized=normalized)
+        return linear_log, cluster_log
+    code = resize_bilinear(code, res)
+    linear_log = norm_log(probes.linear_probe_apply(params["linear_probe"], code))
     cluster_log = probes.cluster_lookup_apply(
-        params["cluster_probe"], code, alpha=ecfg.cluster_alpha, log_probs=True)
+        params["cluster_probe"], code, alpha=ecfg.cluster_alpha, log_probs=True,
+        normalized=normalized)
     return linear_log, cluster_log
 
 
 def predictions(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig):
-    """(linear_preds, cluster_preds) [B, R, R] int32, with optional CRF."""
-    linear_log, cluster_log = eval_logits(params, img, fcfg, ecfg)
+    """(linear_preds, cluster_preds) [B, R, R] int32, with optional CRF.
+
+    Uses unnormalized logits throughout: the CRF unary re-softmaxes and
+    argmax is shift-invariant, so the log-softmax passes are pure cost here
+    (see ``eval_logits(normalized=False)``)."""
+    linear_log, cluster_log = eval_logits(params, img, fcfg, ecfg,
+                                          normalized=False)
     if ecfg.run_crf:
         guidance = unnormalize_255(img)
         if guidance.shape[-1] != ecfg.label_res:

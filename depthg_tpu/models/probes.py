@@ -24,13 +24,19 @@ def cluster_lookup_init(key: jax.Array, dim: int, n_classes: int, dtype=jnp.floa
 
 
 def cluster_lookup_apply(params: dict, x: jnp.ndarray, alpha: float | None,
-                         log_probs: bool = False):
-    """x: [B, dim, H, W]. Returns (loss, probs) or log-softmax probabilities."""
+                         log_probs: bool = False, normalized: bool = True):
+    """x: [B, dim, H, W]. Returns (loss, probs) or log-softmax probabilities.
+
+    ``normalized=False`` (log_probs mode only) returns the raw ``ip * alpha``
+    logits — shift-equivalent to the log-probs for softmax/argmax consumers,
+    skipping one full-resolution normalization pass."""
     clusters = norm(params["clusters"], axis=1)
     feats = norm(x, axis=1)
     ip = jnp.einsum("bchw,nc->bnhw", feats, clusters,
                     precision=jax.lax.Precision.HIGHEST)
     if log_probs:
+        if not normalized:
+            return ip * alpha
         return jax.nn.log_softmax(ip * alpha, axis=1)
     if alpha is None:
         probs = jax.nn.one_hot(jnp.argmax(ip, axis=1), clusters.shape[0],
@@ -43,11 +49,51 @@ def cluster_lookup_apply(params: dict, x: jnp.ndarray, alpha: float | None,
     return loss, probs
 
 
+def cluster_lookup_resized(params: dict, x: jnp.ndarray, size,
+                           alpha: float, normalized: bool = True) -> jnp.ndarray:
+    """log-prob cluster lookup of the bilinearly-RESIZED code, computed from
+    the low-resolution code — exact restructuring of
+    ``cluster_lookup_apply(params, resize_bilinear(x, size), alpha,
+    log_probs=True)`` (the eval path, reference
+    ``src/eval_segmentation.py:156-159``) that never materializes the
+    resized [B, dim, R, R] code (917 MB at batch 16 / dim 70 / R 320):
+
+    * numerator: resize commutes with the channel-linear cluster dots, so
+      the [B, n, h, w] dots resize instead of the [B, dim, h, w] code;
+    * denominator: |resize(code)| per pixel via ``resized_sq_norm``'s exact
+      quadratic expansion of the 2-tap bilinear rows.
+
+    torch ``F.normalize`` divides by max(|v|, eps) per factor; the cluster
+    rows are normalized exactly as in ``cluster_lookup_apply`` and the code
+    norm moves outside the dot: (r / max(|r|, eps)) . c == (r . c) /
+    max(|r|, eps)."""
+    from depthg_tpu.ops.resize import resize_bilinear, resized_sq_norm
+
+    clusters = norm(params["clusters"], axis=1)
+    dots = jnp.einsum("bchw,nc->bnhw", x.astype(jnp.float32), clusters,
+                      precision=jax.lax.Precision.HIGHEST)
+    dots_r = resize_bilinear(dots, size)
+    code_norm = jnp.sqrt(resized_sq_norm(x, size))  # [B, R, R]
+    ip = dots_r / jnp.maximum(code_norm[:, None], 1e-10)
+    if not normalized:
+        return ip * alpha
+    return jax.nn.log_softmax(ip * alpha, axis=1)
+
+
 def linear_probe_init(key: jax.Array, dim: int, n_classes: int, dtype=jnp.float32) -> dict:
     return conv1x1_init(key, dim, n_classes, dtype)
 
 
-def linear_probe_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def linear_probe_apply(params: dict, x: jnp.ndarray,
+                       precision=None) -> jnp.ndarray:
+    """1x1-conv classifier. ``precision``: the eval lowres path pins HIGHEST —
+    at code resolution the conv is 64x cheaper than the reference's
+    resized-code conv, so full precision is free and keeps the upsampled
+    logits closer to the f32 math than the materializing path's
+    default-precision conv (verified on TPU, tests/test_inference_lowres)."""
+    if precision is not None:
+        y = jnp.einsum("bchw,cd->bdhw", x, params["w"], precision=precision)
+        return y + params["b"][None, :, None, None]
     return conv1x1(params, x)
 
 

@@ -125,6 +125,14 @@ class CRFConfig:
     # refinements, exactly the iterations that still run it. 0 = off
     # (quality default until the fidelity study validates a prefix point).
     coarse_prefix: int = 0
+    # full-resolution splat/slice formulation (JBU mode): "broadcast" = the
+    # r4 cell-blocked broadcast-multiply-reduce; "pool_matmul" = per-phase
+    # full-res multiply + ds-block sum-pooling as two [hd, H] indicator
+    # matmuls on the MXU (slice = the transpose: block-replicate matmuls,
+    # then color-weight and sum over phases). Same math; they differ only
+    # in how XLA lays out the reduction (the broadcast form reduces over
+    # [..., ds] minor axes, the matmul form stays in [H, W] tiles).
+    splat_impl: str = "broadcast"
     # batch strategy for the batched wrappers (``dense_crf_batch`` /
     # ``dense_crf_multi_batch``). "auto" picks by cache state and mesh:
     # lax.map one image at a time on a single device when the kernel cache
@@ -178,6 +186,15 @@ def crf_config_from_cfg(cfg) -> CRFConfig:
         coarse_prefix=int(cfg.get("crf_coarse_prefix",
                                   3 if (ds == 8 and phases == 4) else 0)),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _pool_matrix(n: int, ds: int) -> np.ndarray:
+    """[n // ds, n] 0/1 block-sum indicator (ds-cell pooling as a matmul)."""
+    m = np.zeros((n // ds, n), np.float32)
+    for i in range(n // ds):
+        m[i, i * ds:(i + 1) * ds] = 1.0
+    return m
 
 
 @functools.lru_cache(maxsize=None)
@@ -396,7 +413,12 @@ def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
     wgt_c = jnp.stack(wgt_list).reshape(p, hd, ds, wd, ds)
 
     def make_apply(wc):
-        def apply_a(q):
+        def message(z):
+            """[n_pts, C] -> bilateral kernel message in the cache dtype."""
+            return (_cached_matmul(kmat, z, dt) if cache
+                    else _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas))
+
+        def apply_broadcast(q):
             # dtype-following: messages run in the mean-field state dtype
             # (bf16 halves the full-res HBM traffic); the one-time degree
             # call passes f32 ones
@@ -406,14 +428,40 @@ def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
             # splat: z[p,c,i,j] = sum_{a,b} q[c,i,a,j,b] * wgt[p,i,a,j,b]
             z = jnp.sum(qc[None] * wq[:, None], axis=(3, 5))  # [P, C, hd, wd]
             z = jnp.moveaxis(z.reshape(p, c, nc), 1, 2).reshape(n_pts, c).astype(dt)
-            mc = (_cached_matmul(kmat, z, dt) if cache
-                  else _bilateral_message(bf, z, ccfg.block, ccfg.use_pallas))
+            mc = message(z)
             m = jnp.moveaxis(mc.reshape(p, nc, c), 2, 1).reshape(p, c, hd, wd)
             # slice: out[c,i,a,j,b] = sum_p m[p,c,i,j] * wgt[p,i,a,j,b]
             out = jnp.sum(m[:, :, :, None, :, None].astype(q.dtype)
                           * wq[:, None], axis=0)
             return out.reshape(c, h, w)
-        return apply_a
+
+        def apply_pool_matmul(q):
+            # CRFConfig.splat_impl = "pool_matmul": same operator expressed
+            # as full-resolution multiplies + ds-block pooling MATMULS, so
+            # the reductions run as [hd, H] x [H, W] MXU tiles instead of a
+            # VPU reduce over [..., ds] minor axes
+            c = q.shape[0]
+            wq = wc.reshape(p, h, w).astype(q.dtype)
+            ph = jnp.asarray(_pool_matrix(h, ds), q.dtype)  # [hd, H]
+            pw = jnp.asarray(_pool_matrix(w, ds), q.dtype)  # [wd, W]
+            zs = []
+            for pi in range(p):
+                t = jnp.einsum("IH,cHW->cIW", ph, q * wq[pi][None])
+                zs.append(jnp.einsum("cIW,WJ->cIJ", t, pw.T))
+            z = jnp.stack(zs)  # [P, C, hd, wd]
+            z = jnp.moveaxis(z.reshape(p, c, nc), 1, 2).reshape(n_pts, c).astype(dt)
+            mc = message(z)
+            m = jnp.moveaxis(mc.reshape(p, nc, c), 2, 1).reshape(p, c, hd, wd)
+            m = m.astype(q.dtype)
+            out = None
+            for pi in range(p):
+                u = jnp.einsum("HI,cIJ->cHJ", ph.T, m[pi])
+                u = jnp.einsum("cHJ,JW->cHW", u, pw) * wq[pi][None]
+                out = u if out is None else out + u
+            return out
+
+        return (apply_pool_matmul if ccfg.splat_impl == "pool_matmul"
+                else apply_broadcast)
 
     deg = make_apply(wgt_c)(jnp.ones((1, h, w), jnp.float32))[0]
     isd = jax.lax.rsqrt(jnp.maximum(deg, 1e-20))
@@ -698,8 +746,31 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
                                (images, *batched_args))
         per_dev = -(-b // n_shards) * per_img  # ceil: uneven shards hold more
         if per_dev > _VMAP_KERNEL_BUDGET_BYTES:
-            # kernels too big per device under vmap: drop the cache and
-            # vmap the streaming path (tiles recomputed per iteration)
+            chunk = int(_VMAP_KERNEL_BUDGET_BYTES // per_img)
+            while chunk > 1 and b % chunk:
+                chunk -= 1  # largest divisor keeps every chunk's shape static
+            if n_shards <= 1 and 1 < chunk < b and b // chunk <= _MAX_VMAP_CHUNKS:
+                # cache-sized chunked vmap (r5, fixes the inverted batch
+                # sweep): sequential groups of vmap-`chunk`, so the resident
+                # kernels stay inside the budget at ANY batch instead of
+                # falling all the way back to streaming tiles (batch 32/64
+                # measured 62-65 img/s streaming vs 78 at batch 16 with the
+                # cache, BENCH_r04). The groups are UNROLLED python-level
+                # vmap calls, not a lax.map: lax.map around the cached
+                # coarse-prefix mean field composed with a large backbone is
+                # the exact shape that crashes the v5e worker (see
+                # batch_strategy above), while unrolled+vmap is the
+                # TPU-validated form.
+                fn = jax.vmap(make_fn(ccfg))
+                outs = []
+                for g in range(b // chunk):
+                    sl = slice(g * chunk, (g + 1) * chunk)
+                    outs.append(fn(images[sl], *[a[sl] for a in batched_args]))
+                return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                                    *outs)
+            # no usable chunking (sharded mesh, prime batch, or too many
+            # groups): drop the cache and vmap the streaming path (tiles
+            # recomputed per iteration)
             streaming = make_fn(dataclasses.replace(ccfg, kernel_cache_mb=0))
             return jax.vmap(streaming)(images, *batched_args)
     return jax.vmap(make_fn(ccfg))(images, *batched_args)
@@ -708,6 +779,10 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
 # per-DEVICE kernel memory allowed under vmap (sharded meshes) before
 # dropping the cache
 _VMAP_KERNEL_BUDGET_BYTES = int(1.5 * 2**30)
+
+# most unrolled chunk groups _batch_apply will emit before preferring the
+# streaming path (bounds program size for very large batches)
+_MAX_VMAP_CHUNKS = 16
 
 
 def dense_crf(image: jnp.ndarray, logits: jnp.ndarray, ccfg: CRFConfig = CRFConfig()):

@@ -120,6 +120,61 @@ def resize_bicubic(x: jnp.ndarray, size, scale: tuple | None = None) -> jnp.ndar
 
 
 @functools.lru_cache(maxsize=None)
+def _quad_linear_matrices(in_size: int, out_size: int, align_corners: bool):
+    """[out, in] matrices (A2, AB) for the exact squared-norm of a bilinear
+    resize (see ``resized_sq_norm``): each output row u of the bilinear
+    matrix has two taps (i0, i1 = min(i0+1, in-1)) with weights (a, b), so
+    resize(y)_u^2 = a^2 y_{i0}^2 + b^2 y_{i1}^2 + 2ab y_{i0} y_{i1}
+                  = (A2 @ g0)_u + (AB @ g1)_u
+    with g0_j = y_j^2 and g1_j = y_j * y_{min(j+1, in-1)} (the clamped shift
+    matches i1's clamp, so the identity holds at the edge rows too)."""
+    a2 = np.zeros((out_size, in_size), np.float32)
+    ab = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = (i + 0.5) * in_size / out_size - 0.5
+            src = max(src, 0.0)
+        i0 = min(int(np.floor(src)), in_size - 1)
+        i1 = min(i0 + 1, in_size - 1)
+        w1 = src - i0
+        a, b = 1.0 - w1, w1
+        a2[i, i0] += a * a
+        a2[i, i1] += b * b
+        ab[i, i0] += 2.0 * a * b
+    return a2, ab
+
+
+def resized_sq_norm(x: jnp.ndarray, size, align_corners: bool = False) -> jnp.ndarray:
+    """Channel-summed squares of a bilinear resize, without materializing it.
+
+    x: [B, C, H, W] -> [B, OH, OW] equal (in exact arithmetic) to
+    ``(resize_bilinear(x, size) ** 2).sum(axis=1)``. The W axis is resized
+    exactly (it is linear), then the H-axis square expands through the
+    2-tap bilinear rows via ``_quad_linear_matrices`` — so the O(C*OH*OW)
+    resized tensor never exists. Built for ``cluster_lookup_resized``: the
+    eval path's cosine-similarity denominator |resize(code)| is the only
+    thing that stops the probes from commuting with the upsample."""
+    oh, ow = (size, size) if isinstance(size, int) else size
+    h, w = x.shape[-2], x.shape[-1]
+    x = x.astype(jnp.float32)
+    prec = jax.lax.Precision.HIGHEST
+    if (h, w) == (oh, ow):
+        return jnp.sum(x * x, axis=1)
+    y = jnp.einsum("bchw,vw->bchv", x,
+                   jnp.asarray(_linear_matrix(w, ow, align_corners)),
+                   precision=prec)  # exact W-resize, still at H rows
+    y_next = jnp.concatenate([y[:, :, 1:, :], y[:, :, -1:, :]], axis=2)
+    g0 = jnp.einsum("bchv,bchv->bhv", y, y, precision=prec)
+    g1 = jnp.einsum("bchv,bchv->bhv", y, y_next, precision=prec)
+    a2, ab = _quad_linear_matrices(h, oh, align_corners)
+    s = (jnp.einsum("uh,bhv->buv", jnp.asarray(a2), g0, precision=prec)
+         + jnp.einsum("uh,bhv->buv", jnp.asarray(ab), g1, precision=prec))
+    return jnp.maximum(s, 0.0)  # rounding can leave tiny negatives
+
+
+@functools.lru_cache(maxsize=None)
 def _adaptive_avg_matrix(in_size: int, out_size: int) -> np.ndarray:
     """[out, in] averaging matrix matching torch adaptive_avg_pool1d bins."""
     mat = np.zeros((out_size, in_size), np.float32)

@@ -179,6 +179,19 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
         ("ds=8 jbu4 sf1.8 cp8 bf16",
          CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
                    block=block, dtype="bfloat16", coarse_prefix=8)),
+        # r5 formulation change: pool-matmul splat/slice + int8 kernel cache
+        # (CRFConfig.splat_impl) — same operator as broadcast, reductions as
+        # MXU pooling matmuls; these rows re-validate quality at the new
+        # formulation per the repo's own standard (docs/PERFORMANCE.md:
+        # "Quality re-validated after EVERY optimization")
+        ("ds=8 jbu4 sf1.8 cp3 bf16 pm-int8 (eval default r5)",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=3,
+                   splat_impl="pool_matmul", kernel_int8=True)),
+        ("ds=8 jbu4 sf1.8 cp5 bf16 pm-int8 (fast r5)",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=5,
+                   splat_impl="pool_matmul", kernel_int8=True)),
     ]
     if only:
         configs = [(n, c) for n, c in configs

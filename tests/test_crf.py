@@ -129,6 +129,53 @@ def test_batch_strategy_sharded_disables_cache_not_map(monkeypatch):
     assert (out_shard.argmax(1) == ref.argmax(1)).mean() > 0.999
 
 
+def test_batch_strategy_vmap_chunks_before_dropping_cache(monkeypatch):
+    """Strategy "vmap" over budget must run cache-sized UNROLLED vmap chunks
+    (r5: fixes the inverted batch sweep) — never lax.map (the composed-crash
+    shape), and only fall to streaming when no divisor chunk exists."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from depthg_tpu.ops import crf as crf_mod
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((4, 3, 32, 32)).astype(np.float32) * 255)
+    logits = jnp.asarray(rng.standard_normal((4, 3, 8, 8)).astype(np.float32))
+    ccfg = crf_mod.CRFConfig(downsample=2, block=64, max_iter=3,
+                             batch_strategy="vmap")
+    ref = np.asarray(crf_mod.dense_crf_batch(images, logits, ccfg))
+
+    # budget of exactly one 16x16 f32 kernel -> chunk size 1..? per_img =
+    # 256*256*4 bytes; allow two kernels so the divisor search lands on 2
+    per_img = (16 * 16) ** 2 * 4
+    monkeypatch.setattr(crf_mod, "_VMAP_KERNEL_BUDGET_BYTES", 2 * per_img)
+
+    calls = {"map": 0}
+    orig_map = jax.lax.map
+
+    def counting_map(*a, **k):
+        calls["map"] += 1
+        return orig_map(*a, **k)
+
+    monkeypatch.setattr(jax.lax, "map", counting_map)
+
+    out = np.asarray(crf_mod.dense_crf_batch(images, logits, ccfg))
+    assert calls["map"] == 0  # chunked path must not touch lax.map
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # prime batch (no divisor chunk > 1): falls back to streaming vmap
+    images5 = jnp.concatenate([images, images[:1]])
+    logits5 = jnp.concatenate([logits, logits[:1]])
+    monkeypatch.setattr(crf_mod, "_VMAP_KERNEL_BUDGET_BYTES", per_img)
+    out5 = np.asarray(crf_mod.dense_crf_batch(images5, logits5, ccfg))
+    assert calls["map"] == 0
+    ref5 = np.asarray(crf_mod.dense_crf_batch(
+        images5, logits5, dataclasses.replace(ccfg, kernel_cache_mb=0)))
+    np.testing.assert_allclose(out5, ref5, atol=1e-5)
+
+
 def test_jbu_operator_matches_explicit_matrix():
     """splat_phases: apply_a must equal the explicit D^-1/2 S^T K S D^-1/2
     (the operator folds the symmetric degree normalization into the splat
