@@ -10,18 +10,28 @@ Crash containment (r3 post-mortem: one bad program cost the round its whole
 perf artifact): ``python bench.py`` is an ORCHESTRATOR that runs each
 measurement phase in a SUBPROCESS (``bench.py --phase eval|train|io``). A TPU
 worker crash kills only that child; the parent re-probes device health and
-retries the eval phase down a documented fallback chain:
+continues. Since r5 the eval phase measures EVERY named operating point
+(``ops.crf.EVAL_OPERATING_POINTS``) each run — the VERDICT r4 finding was
+that fallback-only points were never measured:
 
-* ``default``   — the eval CLI operating point (one fused program: bf16
-  backbone flip-TTA + probes + quality-default CRF + confusion).
-* ``two_dispatch`` — the SAME operating point split into two programs
-  (logits, then CRF+confusion): same math, smaller per-program footprint.
-* ``safe``      — XLA attention + classic phase-free downsample-4 CRF.
+* ``default``      — the eval CLI operating point (one fused program: bf16
+  backbone flip-TTA + lowres probes + the fidelity-validated CRF default +
+  confusion). This is the HEADLINE (one operating point, one story).
+* ``quality_plus`` — ds=4 jbu2 sf1.41 (~94% of the lattice gain).
+* ``fast``         — coarse-prefix 8 variant of the default (~85% of the
+  gain — documented below the 88% retention bar; measured for visibility).
+* ``safe``         — XLA attention + classic phase-free downsample-4 CRF
+  (crash-chain terminus).
 
-The final JSON always reports which point produced the headline
-(``operating_point``) and why any earlier point was skipped
-(``eval_fallback_reason``) — a worker crash downgrades the number instead of
-erasing it. Exit status is 0 iff a headline value was measured.
+All points' throughputs land in ``points_img_per_sec``; if the default's
+child crashes, the headline degrades down this list and
+``eval_fallback_reason`` says why. (An earlier ``two_dispatch`` arm — the
+same math split into two programs so the CRF could take the faster
+``lax.map`` batching — is GONE: on this stack a lax.map over the
+cached-kernel mean field faults the TPU worker whenever a large backbone
+has run in the same process, even from a separate XLA program; measured
+r5, extending the r4 composed-only bisect.) Exit status is 0 iff a headline
+value was measured.
 
 Numbers reported (all on ONE chip):
 
@@ -30,9 +40,7 @@ Numbers reported (all on ONE chip):
   one dispatch + one scalar fetch bound the measurement — host RPC latency
   and the tunneled runtime's unreliable async-completion signals cannot
   distort it. The measured dispatch+fetch round-trip (calibrated on a trivial
-  program each run) is subtracted. (``two_dispatch`` has no single program to
-  loop inside; it chains ITERS python-level rounds whose data dependencies
-  still serialize the device, with ONE final fetch.)
+  program each run) is subtracted.
 * ``pipelined_img_per_sec``: K independent eval-step dispatches over
   device-resident batches, stats accumulated on device, ONE final scalar
   (depending on every batch) fetched. This measures whether the host can keep
@@ -54,10 +62,12 @@ Numbers reported (all on ONE chip):
   point is reported as ``*_f32_backbone``.
 
 Precision/operating point of the ``default`` eval path: bf16 backbone
-(tanh-GELU) + the EVAL CLI DEFAULT CRF — downsample=8 with 4-phase
-joint-bilateral splat/slice (widened splat sigma 1.8), bf16 mean-field state,
-3-iteration coarse prefix — the point validated in docs/CRF_FIDELITY.md
-(~90% of the permutohedral lattice's mIoU gain on deliberately hard synthetic
+(tanh-GELU), sequential (unfused) flip-TTA passes, low-resolution probes
+(exact restructuring, EvalConfig.lowres_probes) + the EVAL CLI DEFAULT CRF —
+downsample=8 with 4-phase joint-bilateral splat/slice (widened splat sigma
+1.8), bf16 mean-field state, 5-iteration coarse prefix, pool-matmul
+splat/slice, int8 kernel cache — the point validated in docs/CRF_FIDELITY.md
+(~89% of the permutohedral lattice's mIoU gain on deliberately hard synthetic
 scenes). Built by ``ops.crf.crf_config_from_cfg({})`` — the same constructor
 ``scripts/eval_segmentation.py`` uses by default: one operating point, one
 story. Probes, softmaxes and the CRF unary stay f32; the bilateral log-kernel
@@ -74,7 +84,7 @@ uninstallable offline — zero egress, checked 2026-08-17).
 
 Test hooks: ``BENCH_SMOKE=1`` shrinks every shape/iteration count so the full
 orchestration runs on a CPU host in seconds; ``BENCH_FAULT_INJECT`` (comma
-list like ``eval:default,eval:two_dispatch``) makes named child phases die
+list like ``eval:default,eval:quality_plus``) makes named child phases die
 like a worker crash — ``tests/test_bench_contained.py`` uses both to prove a
 crash cannot erase the artifact.
 """
@@ -90,7 +100,8 @@ import numpy as np
 
 BASELINE_IMG_PER_SEC_EST = 1.25
 V5E_BF16_PEAK_TFLOPS = 197.0
-EVAL_POINTS = ("default", "two_dispatch", "safe")
+# every point measured every run; the FIRST is the headline + crash-chain head
+EVAL_POINTS = ("default", "quality_plus", "fast", "safe")
 SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0")
 
 
@@ -147,22 +158,18 @@ def _maybe_fault(phase_point: str):
 
 
 def _eval_setup(point: str):
-    """(fcfg, ecfg, res) for a named eval operating point."""
+    """(fcfg, ecfg, res) for a named eval operating point — resolved from
+    the ONE registry the eval CLI and check_parity use
+    (``ops.crf.EVAL_OPERATING_POINTS``)."""
     from depthg_tpu.inference import EvalConfig
     from depthg_tpu.models.featurizer import FeaturizerConfig
-    from depthg_tpu.ops.crf import crf_config_from_cfg
+    from depthg_tpu.ops.crf import EVAL_OPERATING_POINTS, crf_config_from_cfg
 
     res = 128 if SMOKE else 320
-    if point == "safe":
-        # documented fallback: no Pallas attention kernels, classic
-        # phase-free downsample-4 CRF (the r2-measured configuration)
-        fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=70,
-                                attention_impl="xla")
-        crf = crf_config_from_cfg({"crf_downsample": 4,
-                                   "crf_splat_phases": 0})
-    else:
-        fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=70)
-        crf = crf_config_from_cfg({})
+    # "safe" is also the no-Pallas-attention arm (crash-chain terminus)
+    fcfg = FeaturizerConfig(arch="vit_small", patch_size=8, dim=70,
+                            attention_impl="xla" if point == "safe" else "auto")
+    crf = crf_config_from_cfg(dict(EVAL_OPERATING_POINTS[point]))
     ecfg = EvalConfig(n_classes=27, run_crf=True, label_res=res, crf=crf,
                       backbone_dtype="bfloat16")
     return fcfg, ecfg, res
@@ -182,13 +189,15 @@ def _eval_params(fcfg):
     }
 
 
-def phase_eval(point: str) -> dict:
+def phase_eval(point: str, full: bool = False) -> dict:
+    """Serialized throughput of one operating point; ``full`` (headline point
+    only) adds the batch sweep, the pipelined number and cost-analysis
+    utilization."""
     _maybe_fault(f"eval:{point}")
     import jax
     import jax.numpy as jnp
 
-    from depthg_tpu.inference import eval_logits, predictions, unnormalize_255
-    from depthg_tpu.ops.crf import dense_crf_multi_batch
+    from depthg_tpu.inference import predictions
     from depthg_tpu.utils.metrics import confusion_update
     from depthg_tpu.utils.profiling import dispatch_rtt, hlo_flops
 
@@ -209,77 +218,39 @@ def phase_eval(point: str) -> dict:
         return (confusion_update(lin, label, 27, 0)
                 + confusion_update(clu, label, 27, 0))
 
-    frag: dict = {}
-
-    if point == "two_dispatch":
-        # same operating point, two programs: the logits program and the
-        # CRF+confusion program never share one XLA executable
-        @jax.jit
-        def logits_fn(params, img):
-            return eval_logits(params, img, fcfg, ecfg)
-
-        @jax.jit
-        def crf_fn(img, lin_log, clu_log, label, carry):
-            lin_q, clu_q = dense_crf_multi_batch(
-                unnormalize_255(img + carry * 1e-12), [lin_log, clu_log],
-                ecfg.crf)
-            lin = jnp.argmax(lin_q, 1).astype(jnp.int32)
-            clu = jnp.argmax(clu_q, 1).astype(jnp.int32)
-            s = (confusion_update(lin, label, 27, 0)
-                 + confusion_update(clu, label, 27, 0)).sum()
+    @jax.jit
+    def timed_loop(params, img, label):
+        def body(i, carry):
+            s = eval_stats(params, img + carry * 1e-9, label).sum()
             return carry + s.astype(jnp.float32) * 1e-9
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-        def timed(img, label):
-            def run():
-                carry = jnp.float32(0)
-                for _ in range(iters):
-                    ll, cl = logits_fn(params, img + carry * 1e-9)
-                    carry = crf_fn(img, ll, cl, label, carry)
-                return float(carry)  # one fetch, depends on every round
-            return run
+    img, label = make_batch(batch)
+    float(timed_loop(params, img, label))  # compile + warm
+    dt = max(_median_time(lambda: float(timed_loop(params, img, label)))
+             - rtt, 1e-6) / iters
+    frag: dict = {"value": round(batch / dt, 2), "rtt_ms": round(rtt * 1e3, 1)}
+    if not full:
+        return frag
 
-        img, label = make_batch(batch)
-        timed(img, label)()  # compile + warm
-        dt = max(_median_time(timed(img, label)) - rtt, 1e-6) / iters
-        sweep = {batch: round(batch / dt, 2)}
-        for bsz in () if SMOKE else (32, 64):
-            img_b, label_b = make_batch(bsz)
-            timed(img_b, label_b)()
-            dt_b = max(_median_time(timed(img_b, label_b)) - rtt, 1e-6) / iters
-            sweep[bsz] = round(bsz / dt_b, 2)
-        eval_tflops = float("nan")  # two programs: no single cost analysis
-    else:
-        @jax.jit
-        def timed_loop(params, img, label):
-            def body(i, carry):
-                s = eval_stats(params, img + carry * 1e-9, label).sum()
-                return carry + s.astype(jnp.float32) * 1e-9
-            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+    sweep = {batch: frag["value"]}
+    for bsz in () if SMOKE else (32, 64):
+        img_b, label_b = make_batch(bsz)
+        float(timed_loop(params, img_b, label_b))
+        dt_b = max(_median_time(
+            lambda: float(timed_loop(params, img_b, label_b))) - rtt,
+            1e-6) / iters
+        sweep[bsz] = round(bsz / dt_b, 2)
 
-        img, label = make_batch(batch)
-        float(timed_loop(params, img, label))  # compile + warm
-        dt = max(_median_time(lambda: float(timed_loop(params, img, label)))
-                 - rtt, 1e-6) / iters
-        sweep = {batch: round(batch / dt, 2)}
-        for bsz in () if SMOKE else (32, 64):
-            img_b, label_b = make_batch(bsz)
-            float(timed_loop(params, img_b, label_b))
-            dt_b = max(_median_time(
-                lambda: float(timed_loop(params, img_b, label_b))) - rtt,
-                1e-6) / iters
-            sweep[bsz] = round(bsz / dt_b, 2)
-
-        # hardware utilization from XLA's own flop count for the compiled
-        # loop (cost_analysis counts a fori_loop body ONCE, not per trip —
-        # verified on this jaxlib)
-        try:
-            flops = hlo_flops(
-                jax.jit(timed_loop).lower(params, img, label).compile())
-            eval_tflops = flops / dt / 1e12
-        except Exception:
-            eval_tflops = float("nan")
-
-    serialized = sweep[batch]
+    # hardware utilization from XLA's own flop count for the compiled
+    # loop (cost_analysis counts a fori_loop body ONCE, not per trip —
+    # verified on this jaxlib)
+    try:
+        flops = hlo_flops(
+            jax.jit(timed_loop).lower(params, img, label).compile())
+        eval_tflops = flops / dt / 1e12
+    except Exception:
+        eval_tflops = float("nan")
 
     # pipelined: K independent dispatches, one dependent fetch
     estep = jax.jit(eval_stats)
@@ -287,7 +258,6 @@ def phase_eval(point: str) -> dict:
     imgs_resident = [jax.device_put(jnp.asarray(
         rng.standard_normal((batch, 3, res, res)).astype(np.float32)))
         for _ in range(n_res)]
-    _, label = make_batch(batch)
     _ = float(estep(params, imgs_resident[0], label).sum())
 
     K = 3 if SMOKE else 12
@@ -304,12 +274,10 @@ def phase_eval(point: str) -> dict:
     pipelined = batch / dt_p
 
     frag.update({
-        "value": serialized,
         "pipelined_img_per_sec": round(pipelined, 2),
         "batch_sweep_img_per_sec": {str(k): v for k, v in sweep.items()},
         "eval_tflops_per_sec": round(eval_tflops, 1),
         "eval_hw_util": round(eval_tflops / V5E_BF16_PEAK_TFLOPS, 3),
-        "rtt_ms": round(rtt * 1e3, 1),
     })
     return frag
 
@@ -374,10 +342,10 @@ def phase_train() -> dict:
                1e-6) / iters
 
     # bf16 frozen backbone — the TRAIN CLI DEFAULT (train_config.yml;
-    # training-outcome parity with f32 shown in docs/BF16_TRAIN_STUDY.md)
+    # training-outcome parity with f32 shown in docs/BF16_TRAIN_STUDY.md;
+    # unfused pair forwards since r5 — the stacked [2B] pass measured slower)
     loop_bf = make_train_loop(
-        step_lib.TrainHParams(n_classes=27, backbone_dtype="bfloat16",
-                              fused_pair_forward=True))
+        step_lib.TrainHParams(n_classes=27, backbone_dtype="bfloat16"))
     float(loop_bf(state, tb))
     dt_tb = max(_median_time(lambda: float(loop_bf(state, tb))) - rtt,
                 1e-6) / iters
@@ -390,8 +358,7 @@ def phase_train() -> dict:
     # int8 (w8a8) frozen backbone — documented opt-in operating point
     # (training-outcome parity across 3 seeds: docs/INT8_TRAIN_STUDY.md)
     loop_i8 = make_train_loop(
-        step_lib.TrainHParams(n_classes=27, backbone_dtype="int8",
-                              fused_pair_forward=True))
+        step_lib.TrainHParams(n_classes=27, backbone_dtype="int8"))
     float(loop_i8(state, tb))
     dt_i8 = max(_median_time(lambda: float(loop_i8(state, tb))) - rtt,
                 1e-6) / iters
@@ -482,21 +449,33 @@ def orchestrate() -> int:
         "baseline_estimate_img_per_sec": BASELINE_IMG_PER_SEC_EST,
     }
 
+    # EVERY operating point measured every run (VERDICT r4: fallback-only
+    # points were never measured); the first surviving point in EVAL_POINTS
+    # order is the headline and gets the full measurement set
     reasons = []
+    points: dict = {}
     for point in EVAL_POINTS:
-        print(f"bench: eval point '{point}'", file=sys.stderr, flush=True)
-        rc, frag, tail = _run_child(["--phase", "eval", "--point", point],
-                                    child_timeout)
+        is_headline = out["value"] is None
+        print(f"bench: eval point '{point}'"
+              + (" [headline]" if is_headline else ""),
+              file=sys.stderr, flush=True)
+        args = ["--phase", "eval", "--point", point]
+        if is_headline:
+            args.append("--full")
+        rc, frag, tail = _run_child(args, child_timeout)
         if rc == 0 and frag and frag.get("value") is not None:
-            out.update(frag)
-            out["operating_point"] = point
-            break
+            points[point] = frag["value"]
+            if is_headline:
+                out.update(frag)
+                out["operating_point"] = point
+            continue
         reasons.append(f"{point}: rc={rc} {tail}".strip())
         # the crash may take the worker down with it — wait for recovery
         # before the next point so one fault can't cascade down the chain
         if not _wait_for_tpu(wait_s):
             reasons.append("device did not recover; stopping eval chain")
             break
+    out["points_img_per_sec"] = points
     if reasons:
         out["eval_fallback_reason"] = reasons
 
@@ -524,10 +503,12 @@ def main():
     ap.add_argument("--phase", choices=["all", "eval", "train", "io"],
                     default="all")
     ap.add_argument("--point", choices=list(EVAL_POINTS), default="default")
+    ap.add_argument("--full", action="store_true",
+                    help="headline point: add sweep/pipelined/utilization")
     args = ap.parse_args()
     if args.phase == "all":
         raise SystemExit(orchestrate())
-    frag = {"eval": lambda: phase_eval(args.point),
+    frag = {"eval": lambda: phase_eval(args.point, args.full),
             "train": phase_train, "io": phase_io}[args.phase]()
     print(json.dumps(frag))
 

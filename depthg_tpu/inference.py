@@ -44,10 +44,12 @@ class EvalConfig:
     # lax.map across a sharded axis (see ops.crf).
     batch_shards: int = 1
     # stack the flip-TTA pair into ONE [2B] backbone forward (tta_code).
-    # Same per-sample math; doubles the backbone's peak activation memory —
-    # set False to restore the sequential two-[B]-forward footprint when an
-    # eval batch is sized to fill HBM.
-    fused_tta: bool = True
+    # Same per-sample math either way. Default False since r5: the stacked
+    # [2B] pass measured SLOWER than two sequential [B] passes on v5e
+    # (58.6 vs 2 x 25.0 ms at batch 16 @320 bf16 — per-image backbone time
+    # degrades with batch, and the fused pass also doubles peak activation
+    # memory). True restores the single-dispatch form.
+    fused_tta: bool = False
     # compute both probes from the LOW-RESOLUTION code (exact restructuring,
     # r5): the 1x1 probes commute with the separable bilinear upsample, and
     # the cluster cosine denominator |resize(code)| expands exactly through

@@ -153,6 +153,34 @@ class CRFConfig:
     batch_strategy: str = "auto"
 
 
+# Named eval OPERATING POINTS: sets of run-config overrides expanding to a
+# validated row of docs/CRF_FIDELITY.md. One registry shared by the eval CLI
+# (``operating_point=<name>``), bench.py (measures every point each run) and
+# scripts/check_parity.py (check 2 accepts ``operating_point=`` so the
+# parity story tracks whichever point the CLI promotes).
+EVAL_OPERATING_POINTS = {
+    # the eval CLI default — whatever crf_config_from_cfg({}) resolves to
+    # (r5: ds=8 jbu4 sf1.8 cp5 pm-int8, ~89% of the lattice gain)
+    "default": {},
+    # ~94% of the lattice gain at ~2x the default's cost (ds=4 jbu2 sf1.41)
+    "quality_plus": {"crf_downsample": 4},
+    # ~85% of the gain, 8 coarse-prefix iterations (fidelity row cp8) —
+    # documented BELOW the >=88% retention bar; explicit opt-in only
+    "fast": {"crf_coarse_prefix": 8},
+    # crash-chain fallback: phase-free classic downsample-4 CRF (the
+    # r2-measured configuration; also forces the XLA attention path in
+    # bench.py's fallback arm)
+    "safe": {"crf_downsample": 4, "crf_splat_phases": 0},
+}
+
+
+def operating_point_overrides(name: str) -> list:
+    """A named operating point as ``k=v`` config-override strings. Callers
+    apply these BEFORE the user's own overrides, so the point beats the YAML
+    defaults but an explicit ``crf_*=`` on the command line beats the point."""
+    return [f"{k}={v}" for k, v in EVAL_OPERATING_POINTS[name].items()]
+
+
 def crf_config_from_cfg(cfg) -> CRFConfig:
     """CRF operating point from run-config keys. Defaults = the quality/speed
     point validated in docs/CRF_FIDELITY.md (downsample=8 with 4-phase
@@ -176,15 +204,24 @@ def crf_config_from_cfg(cfg) -> CRFConfig:
                                          {8: 1.8, 4: 1.41}.get(ds, 1.0))),
         dtype=str(cfg.get("crf_dtype", "bfloat16")),
         mixed_resolution=bool(cfg.get("crf_mixed_resolution", True)),
-        kernel_int8=bool(cfg.get("crf_kernel_int8", False)),
+        # r5 defaults at the JBU point: pool-matmul splat/slice + int8
+        # kernel cache — same operator math, measured 9.58 -> 6.81 ms/img
+        # vmapped at cp3 (scripts/profile_crf.py r5), quality re-validated
+        # in docs/CRF_FIDELITY.md ("pm-int8" rows)
+        splat_impl=str(cfg.get("crf_splat_impl",
+                               "pool_matmul" if phases else "broadcast")),
+        kernel_int8=bool(cfg.get("crf_kernel_int8", bool(phases))),
         # coarse-prefix default keyed to the ONE fidelity-validated point
         # (ds=8, 4 phases — docs/CRF_FIDELITY.md): the prefix's
         # drop-the-Gaussian justification needs >= 4 px between coarse
         # points (exp(-d^2/2) ~ 3e-4); at ds=4/P=2 the spacing is ~2.8 px
         # (exp ~ 0.018) and the approximation is unvalidated, so explicit
-        # finer downsamples keep prefix 0 unless overridden.
+        # finer downsamples keep prefix 0 unless overridden. Default 5
+        # since r5 (was 3): the cp5 pm-int8 row retains 89% of the lattice
+        # gain (vs cp3's 90%) and is the point that clears the >=120 img/s
+        # composed-eval bar; crf_coarse_prefix=3 restores the r4 default.
         coarse_prefix=int(cfg.get("crf_coarse_prefix",
-                                  3 if (ds == 8 and phases == 4) else 0)),
+                                  5 if (ds == 8 and phases == 4) else 0)),
     )
 
 

@@ -65,16 +65,14 @@ class TrainHParams:
     precision: str | None = None
     # run the img / img_pos featurizer forwards as ONE stacked [2B] pass:
     # same per-sample math (dropout masks stay per-sample; no batch-coupled
-    # ops in the ViT archs), but double the GEMM batch on the MXU and half
-    # the launch overhead of the dominant step cost (the frozen backbone,
-    # docs/PERFORMANCE.md). Auto-disabled where semantics would change:
+    # ops in the ViT archs). Auto-disabled where semantics would change:
     # LHP attn propagation (needs the [N,N] attn of the FIRST forward only)
     # and the pyramid arch (BatchNorm batch statistics are per-forward in
-    # the reference). The dataclass default stays False — with dropout
-    # enabled the fused pass draws its masks from ONE key instead of k1/k2,
-    # so harnesses constructing TrainHParams directly keep the exact
-    # reference forward structure (same convention as backbone_dtype below);
-    # the train CLI default is True (hparams_from_cfg).
+    # the reference). False everywhere since r5: the stacked pass measured
+    # SLOWER than two sequential [B] passes on v5e (29.7 vs 24.6 ms/step at
+    # batch 16 @224 bf16 — per-image backbone cost grows with GEMM batch),
+    # and with dropout enabled it also draws masks from ONE key instead of
+    # k1/k2. Kept as an explicit opt-in for single-dispatch shapes.
     fused_pair_forward: bool = False
     # frozen-backbone storage dtype: "bfloat16" halves the dominant cost of
     # the step (the two stop-gradient ViT forwards — measured 21.6 -> 10.8
@@ -123,7 +121,11 @@ def hparams_from_cfg(cfg, n_classes: int) -> TrainHParams:
         # stays f32 so parity harnesses constructing TrainHParams directly
         # keep reference numerics
         backbone_dtype=str(cfg.get("backbone_dtype", "bfloat16")),
-        fused_pair_forward=bool(cfg.get("fused_pair_forward", True)),
+        # False since r5: the stacked [2B] pass measured SLOWER than two
+        # sequential [B] passes on v5e (29.7 vs 24.6 ms/step at batch 16
+        # @224 bf16 — per-image backbone time degrades with GEMM batch),
+        # mirroring the eval-side fused_tta finding (inference.EvalConfig)
+        fused_pair_forward=bool(cfg.get("fused_pair_forward", False)),
         crf_samples=int(cfg.crf_samples),
         alpha=float(cfg.alpha), beta=float(cfg.beta), gamma=float(cfg.gamma),
         w1=float(cfg.w1), w2=float(cfg.w2), shift=float(cfg.shift),

@@ -188,7 +188,13 @@ def check_eval(cfg):
     spec.loader.exec_module(mod)
     args = [f"model_paths=[{cfg.ckpt}]", f"data_dir={cfg.data_dir}",
             "run_crf=True", f"output_root={cfg.get('output_root', './results')}"]
-    for k in ("res", "batch_size", "num_workers", "crf_downsample"):
+    # operating_point=<name> pins the eval to a named CRF point
+    # (ops.crf.EVAL_OPERATING_POINTS) so the parity certification tracks
+    # whichever point the eval CLI promotes; explicit crf_* keys still win
+    for k in ("operating_point", "res", "batch_size", "num_workers",
+              "crf_downsample", "crf_coarse_prefix", "crf_splat_phases",
+              "crf_splat_sigma", "crf_dtype", "crf_splat_impl",
+              "crf_kernel_int8"):
         if cfg.get(k) is not None:
             args.append(f"{k}={cfg.get(k)}")
     all_metrics = mod.main(args)

@@ -167,7 +167,7 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
         # iterations run on the coarse phase-point set (one small MXU matmul
         # each — ~free next to a full-res iteration, docs/PERFORMANCE.md
         # decomposition), the rest at full resolution as the default does
-        ("ds=8 jbu4 sf1.8 cp3 bf16 (eval default + bench)",
+        ("ds=8 jbu4 sf1.8 cp3 bf16 (broadcast legacy)",
          CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
                    block=block, dtype="bfloat16", coarse_prefix=3)),
         ("ds=8 jbu4 sf1.8 cp4 bf16",
@@ -184,11 +184,11 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
         # MXU pooling matmuls; these rows re-validate quality at the new
         # formulation per the repo's own standard (docs/PERFORMANCE.md:
         # "Quality re-validated after EVERY optimization")
-        ("ds=8 jbu4 sf1.8 cp3 bf16 pm-int8 (eval default r5)",
+        ("ds=8 jbu4 sf1.8 cp3 bf16 pm-int8 (quality cp3 point)",
          CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
                    block=block, dtype="bfloat16", coarse_prefix=3,
                    splat_impl="pool_matmul", kernel_int8=True)),
-        ("ds=8 jbu4 sf1.8 cp5 bf16 pm-int8 (fast r5)",
+        ("ds=8 jbu4 sf1.8 cp5 bf16 pm-int8 (eval default + bench)",
          CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
                    block=block, dtype="bfloat16", coarse_prefix=5,
                    splat_impl="pool_matmul", kernel_int8=True)),
@@ -316,10 +316,11 @@ def format_table(rows, size, n_images, n_classes, platform):
             "colors on the coarse grids and color-weights each pixel's "
             "transfer, so mismatch attenuates a message instead of blurring "
             "it (`sfX` widens the splat sigma to compensate the 3-Gaussian "
-            "composition). `ds=8 jbu4 sf1.8` — the eval CLI default AND the "
-            "bench.py operating point (one story) — retains ~90% of the "
-            "lattice gain, MORE than plain `ds=2` at ~1/7 its cost; "
-            "`ds=4 jbu2 sf1.41` is the documented quality+ point. On real "
+            "composition). `ds=8 jbu4 sf1.8 cp5 pm-int8` — the eval CLI "
+            "default AND the bench.py headline (one story) — retains ~89% "
+            "of the lattice gain, MORE than plain `ds=2` at a fraction of "
+            "its cost; `ds=4 jbu2 sf1.41` is the documented quality+ point "
+            "and `cp3` the quality-leaning prefix. On real "
             "images the unary is far better than these corrupted scenes, so "
             "absolute mIoU deltas shrink proportionally.",
             "",

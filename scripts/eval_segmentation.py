@@ -215,6 +215,16 @@ def main(argv=None):
     from depthg_tpu.utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()
     overrides = cli_overrides(argv if argv is not None else sys.argv[1:])
+    # operating_point=<name>: expand a named, fidelity-validated CRF point
+    # (ops.crf.EVAL_OPERATING_POINTS) ahead of the user's own overrides, so
+    # explicit crf_* flags still win
+    point = [o.split("=", 1)[1] for o in overrides
+             if o.startswith("operating_point=")]
+    if point:
+        from depthg_tpu.ops.crf import operating_point_overrides
+        overrides = (operating_point_overrides(point[-1])
+                     + [o for o in overrides
+                        if not o.startswith("operating_point=")])
     cfg = load_config("eval_config.yml", overrides)
     wandb = _maybe_wandb(cfg)
     all_metrics = {}

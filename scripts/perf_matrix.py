@@ -125,8 +125,7 @@ def cmd_train(args):
     for impl in args.attn.split(","):
         fcfg = dataclasses.replace(base, attention_impl=impl)
         for bdt in args.dtypes.split(","):
-            hp = step_lib.TrainHParams(n_classes=27, backbone_dtype=bdt,
-                                       fused_pair_forward=True)
+            hp = step_lib.TrainHParams(n_classes=27, backbone_dtype=bdt)
 
             @jax.jit
             def train_loop(state, batch_, hp=hp, fcfg=fcfg):

@@ -35,23 +35,30 @@ def _run_bench(fault: str = "", timeout: int = 900):
 
 
 @pytest.mark.slow
-def test_bench_smoke_default_point():
+def test_bench_smoke_measures_every_point():
     rc, out = _run_bench()
     assert rc == 0
     assert out["value"] is not None and out["value"] > 0
     assert out["operating_point"] == "default"
     assert out["vs_baseline"] is not None
     assert "train_step_ms_b16" in out
+    # r5: every named operating point is measured every run
+    pts = out["points_img_per_sec"]
+    assert set(pts) == {"default", "quality_plus", "fast", "safe"}
+    assert all(v > 0 for v in pts.values())
+    assert out["value"] == pts["default"]
 
 
 @pytest.mark.slow
 def test_bench_crash_falls_back_and_still_reports():
-    # kill the default AND two_dispatch eval children like a worker crash:
-    # the orchestrator must land on the documented safe point with reasons
-    rc, out = _run_bench(fault="eval:default,eval:two_dispatch,train:default")
+    # kill the default AND quality_plus eval children like a worker crash:
+    # the orchestrator must headline the next surviving point with reasons
+    rc, out = _run_bench(fault="eval:default,eval:quality_plus,train:default")
     assert rc == 0, out
     assert out["value"] is not None and out["value"] > 0
-    assert out["operating_point"] == "safe"
+    assert out["operating_point"] == "fast"
+    # the surviving points are still all measured
+    assert set(out["points_img_per_sec"]) == {"fast", "safe"}
     reasons = out["eval_fallback_reason"]
     assert len(reasons) == 2 and "rc=42" in reasons[0]
     # train child died too: recorded, not fatal

@@ -122,6 +122,7 @@ pytestmark_ref = pytest.mark.skipif(not os.path.isdir("/root/reference/src"),
 
 
 @pytestmark_ref
+@pytest.mark.slow
 def test_harness_synthetic_artifacts(artifacts):
     """One command, synthetic weights on disk: every enabled check PASSes."""
     mod = _load_harness()
@@ -137,6 +138,7 @@ def test_harness_synthetic_artifacts(artifacts):
 
 
 @pytestmark_ref
+@pytest.mark.slow
 def test_fault_injection_flips_checks(artifacts):
     """Falsifiability: with noise injected into OUR side of every comparison,
     each comparison-based check FAILs (none is vacuous)."""
@@ -152,6 +154,7 @@ def test_fault_injection_flips_checks(artifacts):
 
 
 @pytestmark_ref
+@pytest.mark.slow
 def test_train_check_fails_on_nan_ckpt(artifacts, tmp_path):
     """5.train flips to FAIL when the checkpoint carries NaN weights."""
     import torch
@@ -214,6 +217,7 @@ def _make_eval_dataset(root, n=4, size=96, seed=0):
 
 
 @pytestmark_ref
+@pytest.mark.slow
 def test_eval_check_expected_metrics(tmp_path):
     """2.eval is falsifiable: NEED without expectations, PASS when the
     expectation matches the measured mIoU, FAIL when it doesn't."""

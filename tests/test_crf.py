@@ -357,6 +357,43 @@ def test_int8_kernel_cache_matches_f32():
     np.testing.assert_allclose(np.asarray(qa.sum(0)), 1.0, atol=1e-3)
 
 
+def test_operating_point_overrides_precedence():
+    """operating_point expansion: the point beats the YAML default, explicit
+    crf_* overrides beat the point (scripts/eval_segmentation.py r5)."""
+    from depthg_tpu.config import load_config
+    from depthg_tpu.ops.crf import (EVAL_OPERATING_POINTS,
+                                    crf_config_from_cfg,
+                                    operating_point_overrides)
+
+    assert set(EVAL_OPERATING_POINTS) == {"default", "quality_plus", "fast",
+                                          "safe"}
+    ov = operating_point_overrides("quality_plus")
+    cfg = load_config("depthg_tpu/configs/eval_config.yml", ov)
+    assert crf_config_from_cfg(cfg).downsample == 4
+    # explicit user override applied after the point wins
+    cfg2 = load_config("depthg_tpu/configs/eval_config.yml",
+                       ov + ["crf_downsample=2"])
+    assert crf_config_from_cfg(cfg2).downsample == 2
+    # "fast" = documented cp8 row (below the 88% bar, explicit opt-in)
+    cfg3 = load_config("depthg_tpu/configs/eval_config.yml",
+                       operating_point_overrides("fast"))
+    assert crf_config_from_cfg(cfg3).coarse_prefix == 8
+
+
+def test_crf_config_r5_formulation_defaults():
+    """The JBU points default to pool-matmul splat/slice + int8 kernel (r5);
+    phase-free points keep the classic broadcast/bf16 formulation."""
+    from depthg_tpu.ops.crf import crf_config_from_cfg
+
+    d = crf_config_from_cfg({})
+    assert d.splat_impl == "pool_matmul" and d.kernel_int8
+    legacy = crf_config_from_cfg({"crf_downsample": 2})
+    assert legacy.splat_impl == "broadcast" and not legacy.kernel_int8
+    forced = crf_config_from_cfg({"crf_splat_impl": "broadcast",
+                                  "crf_kernel_int8": False})
+    assert forced.splat_impl == "broadcast" and not forced.kernel_int8
+
+
 def test_crf_config_prefix_keyed_to_validated_point():
     """crf_config_from_cfg: the coarse-prefix default exists ONLY at the
     fidelity-validated ds=8/4-phase point; explicit finer downsamples get 0
@@ -364,7 +401,7 @@ def test_crf_config_prefix_keyed_to_validated_point():
     breaks below ~4 px coarse-point spacing)."""
     from depthg_tpu.ops.crf import crf_config_from_cfg
 
-    assert crf_config_from_cfg({}).coarse_prefix == 3
+    assert crf_config_from_cfg({}).coarse_prefix == 5  # r5 default (cp5 pm-int8)
     assert crf_config_from_cfg({"crf_downsample": 4}).coarse_prefix == 0
     assert crf_config_from_cfg({"crf_downsample": 2}).coarse_prefix == 0
     # explicit override always wins

@@ -56,6 +56,7 @@ COMMON = [
 ]
 
 
+@pytest.mark.slow
 def test_full_pipeline(coco_root, tmp_path):
     crop_datasets = _load_script("crop_datasets")
     precompute_knns = _load_script("precompute_knns")
@@ -106,6 +107,7 @@ def test_full_pipeline(coco_root, tmp_path):
     assert vals["n_images"] == 4
 
 
+@pytest.mark.slow
 def test_observability_and_retention(coco_root, tmp_path):
     """tfevents (scalars + hist_freq histograms + rotation), save_top_k=2
     retention, and the reference-format .ckpt export (VERDICT r1 items 7/8)."""
@@ -156,6 +158,7 @@ def test_observability_and_retention(coco_root, tmp_path):
     assert acc.PluginTagToContent("hparams"), "no hparams logged to tfevents"
 
 
+@pytest.mark.slow
 def test_feature_pyramid_cli(coco_root, tmp_path):
     """arch=feature-pyramid trains through the train CLI (reference
     src/train_segmentation.py:99-101) and evals through the eval CLI."""

@@ -106,6 +106,7 @@ def test_midas_inversion(image_dir, tmp_path):
     assert np.abs((255 - a) - b).max() <= 1
 
 
+@pytest.mark.slow
 def test_sharded_fused_zoe_through_pipeline(image_dir, tmp_path, monkeypatch):
     """A real (tiny) ZoeDepth with fused whole-KV attention through the
     data-parallel shard_map path: Pallas-in-shard_map is the supported

@@ -21,9 +21,6 @@ import jax.numpy as jnp
 from depthg_tpu.models import probes
 from depthg_tpu.ops.resize import resize_bilinear, resized_sq_norm
 
-pytestmark = pytest.mark.fast
-
-
 @pytest.mark.parametrize("hw,out,align", [
     ((40, 40), (320, 320), False),
     ((13, 17), (64, 96), False),   # odd sizes exercise the edge-clamp rows

@@ -65,6 +65,7 @@ def test_vgg11_converter_roundtrip():
         np.asarray(vgg11_features(jax.device_put(restored), x)), atol=0)
 
 
+@pytest.mark.slow
 def test_densenet121_structure_and_roundtrip():
     torch = pytest.importorskip("torch")
 

@@ -91,6 +91,7 @@ def test_full_decoder_and_resize_classify():
     np.testing.assert_allclose(float(jnp.exp(logits[0, :, 0, 0]).sum()), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pyramid_featurizer_bfloat16_backbone():
     """backbone_dtype must reach the frozen ResNet (regression: dispatch_apply
     silently dropped it) — outputs stay f32 and close to the f32 forward."""

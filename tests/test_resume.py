@@ -24,6 +24,7 @@ def _load_script(name):
     return mod
 
 
+@pytest.mark.slow
 def test_resume_continues_from_step(tmp_path):
     root = str(tmp_path / "data")
     make_cropped_dataset(root, n=8, size=64, splits=("train",))

@@ -69,20 +69,37 @@ def _run_composed(fcfg, ecfg, params, b):
 
 
 def test_composed_eval_batch16_default_point_runs():
-    """The exact composition that crashed r3: default CRF (cache + cp3), bf16
-    flip-TTA backbone, confusion, one jit, batch 16. predictions() must route
-    the CRF through vmap batching (cached: 16 kernels fit the budget)."""
+    """The current eval CLI default composed at batch 16 (r5: cp5 pm-int8),
+    one jit with the bf16 flip-TTA backbone + confusion. predictions() must
+    route the CRF through vmap batching (cached: 16 kernels fit the budget)."""
     fcfg, ecfg, params = _setup()
-    assert ecfg.crf.coarse_prefix == 3  # the composition that crashed r3
+    assert ecfg.crf.coarse_prefix == 5  # the r5 default point
     _run_composed(fcfg, ecfg, params, 16)
 
 
-def test_composed_eval_batch64_streaming_fallback_runs():
-    """Batch 64 exceeds the vmap kernel-cache budget: _batch_apply must drop
-    the cache and stream tiles — still one composed program, still crash-free."""
+def test_composed_eval_batch16_r3_crash_shape_runs():
+    """The exact composition that crashed r3, pinned EXPLICITLY (cache + cp3 +
+    bf16 kernel + broadcast splat) regardless of where the default moves."""
+    import dataclasses
+
+    from depthg_tpu.ops.crf import crf_config_from_cfg
+
+    fcfg, ecfg, params = _setup()
+    crf_r3 = crf_config_from_cfg({"crf_coarse_prefix": 3,
+                                  "crf_kernel_int8": False,
+                                  "crf_splat_impl": "broadcast"})
+    assert crf_r3.coarse_prefix == 3 and not crf_r3.kernel_int8
+    _run_composed(fcfg, dataclasses.replace(ecfg, crf=crf_r3), params, 16)
+
+
+def test_composed_eval_batch64_chunked_vmap_runs():
+    """Batch 64 exceeds the vmap kernel-cache budget: _batch_apply must run
+    UNROLLED cache-sized vmap chunks (r5) — still one composed program,
+    still crash-free."""
     from depthg_tpu.ops.crf import _VMAP_KERNEL_BUDGET_BYTES, _kernel_cache_bytes
 
     fcfg, ecfg, params = _setup()
-    per_img = _kernel_cache_bytes((320 // 8) ** 2 * 4, ecfg.crf)
+    n_pts = (320 // 8) ** 2 * 4
+    per_img = _kernel_cache_bytes(n_pts, ecfg.crf)
     assert per_img is not None and 64 * per_img > _VMAP_KERNEL_BUDGET_BYTES
     _run_composed(fcfg, ecfg, params, 64)

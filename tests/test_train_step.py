@@ -37,6 +37,7 @@ def _jit_step(state, batch, key, n_classes_unused):
     return step_lib.train_step(state, batch, key, FCFG, HP, LCFG, 0.19, 0.03)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns():
     key = jax.random.PRNGKey(0)
     state = step_lib.init_state(key, FCFG, HP)
@@ -116,6 +117,7 @@ def test_fused_pair_forward_matches_unfused():
                                    rtol=2e-5, atol=2e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_train_step_int8_backbone_runs():
     """backbone_dtype="int8" through the FULL train step (the combination
     the device decision matrix times): the w8a8 frozen forward feeds the

@@ -85,6 +85,7 @@ def test_depth_only_intra_variant():
     assert "loss/depth_feat" not in logs
 
 
+@pytest.mark.slow
 def test_feature_pyramid_arch_trains():
     """arch="feature-pyramid" (reference src/train_segmentation.py:99-101)
     trains through the same step: frozen ResNet in `frozen`, pyramid head +

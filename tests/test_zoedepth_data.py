@@ -31,9 +31,6 @@ from depthg_tpu.models.zoedepth.metrics import (RunningAverageDict,
                                                 compute_errors,
                                                 compute_metrics)
 
-pytestmark = pytest.mark.fast
-
-
 def _make_layout(root, n=6, hw=(48, 64), depth_scale=1000.0, seed=0):
     """Tiny nyu-shaped dataset: rgb jpgs? (png keeps exactness), uint16 depth."""
     rng = np.random.default_rng(seed)

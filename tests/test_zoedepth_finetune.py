@@ -147,6 +147,7 @@ def test_lr_group_labels_cover_reference_groups():
     assert labels["conv2"]["w"] == "head"
 
 
+@pytest.mark.slow
 def test_finetune_smoke_loss_decreases():
     rng = np.random.default_rng(0)
     params = zoedepth_init(jax.random.PRNGKey(1), TINY)
