@@ -52,6 +52,11 @@ DEFAULTS = {
     "output_dir": "./checkpoints_zoe",
     "max_steps": 0,              # 0 = no cap (tests cap it)
     "eval_limit": 0,             # 0 = whole eval set
+    # validate against a specialized eval reader instead of
+    # filenames_file_eval: any of models/zoedepth/eval_datasets.EVAL_READERS
+    # (ibims, sunrgbd, diml_indoor/outdoor, diode_*, hypersim_test, vkitti,
+    # vkitti2, ddad); eval_data_root = its folder
+    "eval_dataset": None, "eval_data_root": None,
 }
 
 
@@ -121,8 +126,15 @@ def validate(params, zcfg, dcfg, test_set, spec, limit=0):
     n = len(test_set) if not limit else min(limit, len(test_set))
     for i in range(n):
         s = test_set[i]
-        if not s.get("has_valid_depth", False):
+        # DataLoadPreprocess marks missing depths; the specialized eval
+        # readers (models/zoedepth/eval_datasets.py) always carry one
+        if not s.get("has_valid_depth", "depth" in s):
             continue
+        if "mask" not in s:
+            # readers emit raw depth; validity = the dataset's open bounds
+            # (the reference applies the same bounds inside compute_metrics)
+            s = dict(s, mask=(s["depth"] > spec.min_depth)
+                     & (s["depth"] < spec.max_depth))
         img = jnp.asarray(s["image"][None])
         pred = np.asarray(fwd(params, img))[0]
         l_si = float(finetune.silog_loss(
@@ -155,6 +167,10 @@ def main(argv=None):
     zcfg, params = build_model(cfg)
     dcfg, train_set, test_set = build_data(cfg)
     spec = DEPTH_DATASETS[cfg["dataset"]]
+    if cfg["eval_dataset"]:
+        from depthg_tpu.models.zoedepth.eval_datasets import get_eval_reader
+        test_set = get_eval_reader(cfg["eval_dataset"], cfg["eval_data_root"])
+        spec = DEPTH_DATASETS[cfg["eval_dataset"]]
 
     steps_per_epoch = max(len(train_set) // int(cfg["batch_size"]), 1)
     total = int(cfg["epochs"]) * steps_per_epoch

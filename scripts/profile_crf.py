@@ -71,16 +71,16 @@ def main(argv=None):
             return float("nan")
 
     # --- whole-CRF arms: vary coarse_prefix and kernel_int8 -----------------
-    base = crf_config_from_cfg({})  # the eval default: ds=8 jbu4 sf1.8 cp3 bf16
+    # the eval default: ds=8 jbu4 sf1.8 cp5 bf16 pm-int8 (r5)
+    base = crf_config_from_cfg({})
     results = {}
     for name, ccfg in [
         ("crf cp0", crf_config_from_cfg({"crf_coarse_prefix": 0})),
-        ("crf cp3 (default)", base),
-        ("crf cp5", crf_config_from_cfg({"crf_coarse_prefix": 5})),
+        ("crf cp3", crf_config_from_cfg({"crf_coarse_prefix": 3})),
+        ("crf cp5 (default)", base),
         ("crf cp10 (all coarse)", crf_config_from_cfg({"crf_coarse_prefix": 10})),
-        ("crf cp3 int8", crf_config_from_cfg({"crf_kernel_int8": True})),
-        ("crf cp10 int8", crf_config_from_cfg({"crf_kernel_int8": True,
-                                               "crf_coarse_prefix": 10})),
+        ("crf cp5 bf16-kernel", crf_config_from_cfg({"crf_kernel_int8": False})),
+        ("crf cp5 broadcast", crf_config_from_cfg({"crf_splat_impl": "broadcast"})),
     ]:
         import dataclasses
         ccfg = dataclasses.replace(ccfg, batch_strategy="vmap")

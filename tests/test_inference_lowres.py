@@ -47,6 +47,23 @@ def test_cluster_lookup_resized_matches_materialized():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_eval_logits_unnormalized_is_shift_equivalent():
+    """predictions() feeds the CRF unnormalized logits: softmax and argmax
+    must be IDENTICAL to the normalized (log-softmax) form (r5)."""
+    rng = np.random.default_rng(3)
+    params = {"clusters": jnp.asarray(rng.standard_normal((27, 70)).astype(np.float32))}
+    code = jnp.asarray(rng.standard_normal((2, 70, 12, 12)).astype(np.float32))
+    norm_lp = probes.cluster_lookup_resized(params, code, (48, 48), 2.0,
+                                            normalized=True)
+    raw = probes.cluster_lookup_resized(params, code, (48, 48), 2.0,
+                                        normalized=False)
+    np.testing.assert_allclose(np.asarray(jax.nn.softmax(raw, axis=1)),
+                               np.asarray(jax.nn.softmax(norm_lp, axis=1)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(raw, 1)),
+                                  np.asarray(jnp.argmax(norm_lp, 1)))
+
+
 def test_eval_logits_lowres_matches_materialized():
     import dataclasses
 
