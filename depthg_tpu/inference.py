@@ -50,6 +50,13 @@ class EvalConfig:
     # degrades with batch, and the fused pass also doubles peak activation
     # memory). True restores the single-dispatch form.
     fused_tta: bool = False
+    # run each backbone pass over at most this many images, as UNROLLED
+    # sequential sub-passes inside the same program (r5): per-image backbone
+    # time grows with GEMM batch past ~16 on v5e (the same measurement that
+    # retired fused_tta), so larger eval batches keep the 16-wide knee's
+    # per-image cost instead of inheriting the [B]-wide degradation.
+    # 0 disables chunking.
+    backbone_sub_batch: int = 16
     # compute both probes from the LOW-RESOLUTION code (exact restructuring,
     # r5): the 1x1 probes commute with the separable bilinear upsample, and
     # the cluster cosine denominator |resize(code)| expands exactly through
@@ -68,29 +75,35 @@ def unnormalize_255(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def tta_code(params: dict, img: jnp.ndarray, fcfg, precision=None,
-             backbone_dtype=None, fused: bool = True) -> jnp.ndarray:
+             backbone_dtype=None, fused: bool = False,
+             sub_batch: int = 0) -> jnp.ndarray:
     """Flip-TTA averaged projection code (reference ``eval_segmentation.py:150-152``).
 
-    With ``fused`` (default) the original and the flipped batch ride ONE
-    stacked [2B] backbone forward instead of two [B] dispatches: eval runs
-    the featurizer with no dropout or batch statistics, so every sample is
-    independent and the stacked pass is the same per-sample math — but it
-    doubles the GEMM batch feeding the MXU and halves the per-forward launch
-    overhead (the two frozen forwards are the dominant eval-logits cost,
-    docs/PERFORMANCE.md). It also doubles the backbone's peak activation
-    memory; ``fused=False`` (EvalConfig.fused_tta) restores the sequential
-    footprint for HBM-tight batches."""
+    Eval runs the featurizer with no dropout or batch statistics, so every
+    sample is independent and any batching of the two passes is the same
+    per-sample math. ``fused`` stacks them into ONE [2B] forward (slower on
+    v5e — see ``EvalConfig.fused_tta``); ``sub_batch > 0`` additionally
+    splits each pass into unrolled sub-passes of at most that many images
+    (``EvalConfig.backbone_sub_batch``: per-image backbone cost grows with
+    GEMM batch past ~16, so big eval batches keep the knee's cost)."""
+    def forward(x):
+        b = x.shape[0]
+        if sub_batch and b > sub_batch:
+            chunks = [featurizer_lib.dispatch_apply(
+                params, x[i:i + sub_batch], fcfg, precision=precision,
+                backbone_dtype=backbone_dtype)["code"]
+                for i in range(0, b, sub_batch)]
+            return jnp.concatenate(chunks, axis=0)
+        return featurizer_lib.dispatch_apply(params, x, fcfg, precision=precision,
+                                             backbone_dtype=backbone_dtype)["code"]
+
     if not fused:
-        c1 = featurizer_lib.dispatch_apply(params, img, fcfg, precision=precision,
-                                           backbone_dtype=backbone_dtype)["code"]
-        c2 = featurizer_lib.dispatch_apply(params, img[..., ::-1], fcfg,
-                                           precision=precision,
-                                           backbone_dtype=backbone_dtype)["code"]
+        c1 = forward(img)
+        c2 = forward(img[..., ::-1])
         return (c1 + c2[..., ::-1]) / 2
     b = img.shape[0]
     both = jnp.concatenate([img, img[..., ::-1]], axis=0)
-    code = featurizer_lib.dispatch_apply(params, both, fcfg, precision=precision,
-                                         backbone_dtype=backbone_dtype)["code"]
+    code = forward(both)
     return (code[:b] + code[b:][..., ::-1]) / 2
 
 
@@ -111,7 +124,8 @@ def eval_logits(params: dict, img: jnp.ndarray, fcfg, ecfg: EvalConfig,
     """
     bdt = None if ecfg.backbone_dtype == "float32" else ecfg.backbone_dtype
     code = tta_code(params["net"], img, fcfg, ecfg.precision,
-                    backbone_dtype=bdt, fused=ecfg.fused_tta).astype(jnp.float32)
+                    backbone_dtype=bdt, fused=ecfg.fused_tta,
+                    sub_batch=ecfg.backbone_sub_batch).astype(jnp.float32)
     res = (ecfg.label_res, ecfg.label_res)
 
     def norm_log(x):

@@ -156,17 +156,22 @@ def test_tta_code_fused_matches_two_forwards():
     img = jnp.asarray(np.random.default_rng(8).standard_normal(
         (4, 3, 32, 32)).astype(np.float32))
 
-    fused = tta_code(params, img, fcfg)
+    fused = tta_code(params, img, fcfg, fused=True)
     c1 = featurizer_lib.dispatch_apply(params, img, fcfg)["code"]
     c2 = featurizer_lib.dispatch_apply(params, img[..., ::-1], fcfg)["code"]
     np.testing.assert_allclose(np.asarray(fused),
                                np.asarray((c1 + c2[..., ::-1]) / 2),
                                rtol=1e-5, atol=1e-5)
-    # the fused=False opt-out (EvalConfig.fused_tta) IS the two-forward
+    # fused=False (the r5 default, EvalConfig.fused_tta) IS the two-forward
     # formulation — exact equality, not tolerance
     unfused = tta_code(params, img, fcfg, fused=False)
     np.testing.assert_array_equal(np.asarray(unfused),
                                   np.asarray((c1 + c2[..., ::-1]) / 2))
+    # backbone_sub_batch chunking (r5): per-sample math unchanged — chunked
+    # sub-passes concatenate to the unchunked result exactly
+    chunked = tta_code(params, img, fcfg, fused=False, sub_batch=2)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(unfused),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_cross_entropy_axis1_matches_channel_last():
