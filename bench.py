@@ -105,6 +105,19 @@ EVAL_POINTS = ("default", "quality_plus", "fast", "safe")
 SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0")
 
 
+def _apply_platform_override():
+    """Honor an explicit ``JAX_PLATFORMS=cpu`` from the caller. The axon
+    sitecustomize re-pins the env var to the TPU tunnel at interpreter
+    startup, so the env alone is NOT enough — the platform must be forced
+    via jax.config after import (same technique as tests/conftest.py).
+    Found r5: the 'CPU' bench smoke had been silently running over the TPU
+    tunnel, making tests/test_bench_contained.py slow and tunnel-dependent."""
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def _median_time(fn, repeats=3):
     ts = []
     for _ in range(repeats):
@@ -511,6 +524,7 @@ def main():
     args = ap.parse_args()
     if args.phase == "all":
         raise SystemExit(orchestrate())
+    _apply_platform_override()
     frag = {"eval": lambda: phase_eval(args.point, args.full),
             "train": phase_train, "io": phase_io}[args.phase]()
     print(json.dumps(frag))

@@ -17,7 +17,10 @@ import pytest
 BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
 
 
-def _run_bench(fault: str = "", timeout: int = 900):
+def _run_bench(fault: str = "", timeout: int = 2400):
+    # r5: the orchestrator measures all four eval points every run, so the
+    # smoke compiles 4 eval children + io + train — ~15-20 min on a loaded
+    # 1-core host (it passed at ~10 min idle; 900 s was too tight)
     env = dict(os.environ)
     env.update({
         "JAX_PLATFORMS": "cpu",
