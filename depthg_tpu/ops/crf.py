@@ -125,6 +125,21 @@ class CRFConfig:
     # refinements, exactly the iterations that still run it. 0 = off
     # (quality default until the fidelity study validates a prefix point).
     coarse_prefix: int = 0
+    # pyramid schedule (JBU + coarse_prefix mode): run this many mean-field
+    # iterations at HALF resolution between the coarse prefix and the
+    # full-res tail. The half-res STRIDED image (image[:, ::2, ::2])
+    # contains the exact phase pixels whenever every phase offset is even
+    # (true for the quincunx at ds=8: offsets {2, 6} and the diagonal at
+    # ds=8: {2, 6}), so the mid-res JBU operator's point features are
+    # IDENTICAL to the full-res operator's and the cached [N, N] kernel is
+    # shared — a mid iteration pays ~1/4 of a full-res iteration's
+    # HBM/VPU cost (softmax + Gaussian + splat/slice at 160^2 instead of
+    # 320^2) plus the same small kernel matmul, with the sxy=1 Gaussian
+    # kept (at sigma/2) unlike the coarse prefix which drops it. 0 = off.
+    # Ignored (treated as full-res iterations) when the JBU path is
+    # inactive or an odd phase offset makes the strided grid miss the
+    # phase pixels.
+    mid_prefix: int = 0
     # full-resolution splat/slice formulation (JBU mode): "broadcast" = the
     # r4 cell-blocked broadcast-multiply-reduce; "pool_matmul" = per-phase
     # full-res multiply + ds-block sum-pooling as two [hd, H] indicator
@@ -222,6 +237,10 @@ def crf_config_from_cfg(cfg) -> CRFConfig:
         # composed-eval bar; crf_coarse_prefix=3 restores the r4 default.
         coarse_prefix=int(cfg.get("crf_coarse_prefix",
                                   5 if (ds == 8 and phases == 4) else 0)),
+        # pyramid schedule: half-res iterations between the coarse prefix
+        # and the full-res tail (CRFConfig.mid_prefix); defaults off until
+        # a fidelity row validates a scheduled point
+        mid_prefix=int(cfg.get("crf_mid_prefix", 0)),
     )
 
 
@@ -312,6 +331,11 @@ def _bilateral_message(feats: jnp.ndarray, values: jnp.ndarray, block: int,
 # above this many block-diagonals the symmetric unrolled formulation is
 # traded for a rolled lax.map (jaxpr size over exp savings)
 _MAX_UNROLLED_DIAGS = 48
+
+# grid-resolution mean-field iterations are unrolled up to this count (the
+# reference's max_iter is 10); beyond it a rolled fori_loop bounds program
+# size. See run_iters in dense_crf_multi for the measured loop tax.
+_MAX_UNROLLED_GRID_ITERS = 12
 
 
 def _block_features(feats: jnp.ndarray, block: int):
@@ -410,14 +434,23 @@ def _jbu_phases(ccfg: CRFConfig, h: int, w: int) -> list:
     return _phase_offsets(ccfg.splat_phases, ds)
 
 
-def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
+def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases,
+                  kmat=None, want_coarse: bool | None = None):
     """Joint-bilateral splat/slice operator A = S^T K S (see CRFConfig.
-    splat_phases). Returns (apply_A, deg): deg = A @ 1 at FULL resolution,
-    and apply_A: [C, H, W] -> [C, H, W] computes the symmetrically
-    NORMALIZED message D^{-1/2} A D^{-1/2} q — the rsqrt degree is folded
-    into the splat weights once at build time (S = pool o diag(wgt), so
-    scaling wgt scales both the S and S^T applications), saving two
-    full-resolution multiplies per mean-field iteration."""
+    splat_phases). Returns (apply_A, deg, coarse, kmat): deg = A @ 1 at the
+    operator's own ("full") resolution, and apply_A: [C, H, W] ->
+    [C, H, W] computes the symmetrically NORMALIZED message
+    D^{-1/2} A D^{-1/2} q — the rsqrt degree is folded into the splat
+    weights once at build time (S = pool o diag(wgt), so scaling wgt
+    scales both the S and S^T applications), saving two full-resolution
+    multiplies per mean-field iteration.
+
+    ``kmat``: a prebuilt cached kernel to share instead of building one —
+    the pyramid schedule's mid-res operator has IDENTICAL point features
+    (CRFConfig.mid_prefix), so its kernel is the same matrix. ``want_coarse``
+    overrides the ``ccfg.coarse_prefix > 0`` default for whether the
+    coarse-iteration tools (message + slice at this operator's resolution)
+    are built."""
     h, w = image.shape[-2:]
     hd, wd = h // ds, w // ds
     nc = hd * wd
@@ -439,8 +472,10 @@ def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
 
     bf = jnp.concatenate(feats_list, axis=0)  # [P * nc, 5]
     n_pts = p * nc
-    cache = _kernel_cache_bytes(n_pts, ccfg) is not None
-    kmat = _cache_kernel(bf, ccfg, dt) if cache else None
+    cache = (kmat is not None
+             or _kernel_cache_bytes(n_pts, ccfg) is not None)
+    if cache and kmat is None:
+        kmat = _cache_kernel(bf, ccfg, dt)
 
     # cell-blocked splat weights [P, hd, ds, wd, ds]: each transfer
     # direction is ONE fused broadcast-multiply-reduce over the phase/cell
@@ -505,7 +540,7 @@ def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
     wgt_norm = wgt_c * isd.reshape(hd, ds, wd, ds)[None]
 
     coarse = None
-    if ccfg.coarse_prefix > 0:
+    if ccfg.coarse_prefix > 0 if want_coarse is None else want_coarse:
         # tools for the coarse-prefix iterations (CRFConfig.coarse_prefix):
         # message on the phase-point set itself, normalized by the COARSE
         # kernel degree (the full-res degree lives in the splat weights and
@@ -534,7 +569,7 @@ def _jbu_operator(image: jnp.ndarray, ccfg: CRFConfig, ds: int, dt, phases):
             return out.reshape(c, h, w)
 
         coarse = (coarse_message, slice_full)
-    return make_apply(wgt_norm), deg, coarse
+    return make_apply(wgt_norm), deg, coarse, kmat
 
 
 def _bilateral_features(image: jnp.ndarray, ccfg: CRFConfig, ds: int) -> jnp.ndarray:
@@ -575,11 +610,36 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
     dt = jnp.bfloat16 if ccfg.dtype == "bfloat16" else jnp.float32
 
     phases = _jbu_phases(ccfg, h, w)
+    cp = mp = 0
     if phases:
+        # iteration schedule (CRFConfig.coarse_prefix / mid_prefix): cp
+        # coarse point-set iterations, then mp half-res iterations, then
+        # (max_iter - cp - mp) full-res iterations
+        cp = min(max(int(ccfg.coarse_prefix), 0), ccfg.max_iter)
+        mid_ok = ds % 2 == 0 and all(oy % 2 == 0 and ox % 2 == 0
+                                     for oy, ox in phases)
+        mp = (min(max(int(ccfg.mid_prefix), 0), ccfg.max_iter - cp)
+              if mid_ok else 0)
         # joint-bilateral splat/slice: pure-color phase grids, color-weighted
         # transfer operator, full-resolution degree (CRFConfig.splat_phases);
         # the operator returns the D^{-1/2} A D^{-1/2}-normalized message
-        jbu_apply, _, jbu_coarse = _jbu_operator(image, ccfg, ds, dt, phases)
+        jbu_apply, _, jbu_coarse, kmat = _jbu_operator(
+            image, ccfg, ds, dt, phases, want_coarse=(cp > 0 and mp == 0))
+        if mp:
+            # half-res operator over the STRIDED image: every phase offset
+            # is even, so its point set is the same pure pixels and the
+            # cached kernel is shared verbatim (CRFConfig.mid_prefix).
+            # Halving bi_xy_std makes the mid-grid position features equal
+            # the full-res ones exactly: (i*ds/2 + oy/2) / (std/2)
+            # == (i*ds + oy) / std.
+            image_mid = image[:, ::2, ::2]
+            ccfg_mid = dataclasses.replace(ccfg, bi_xy_std=ccfg.bi_xy_std / 2)
+            phases_mid = [(oy // 2, ox // 2) for oy, ox in phases]
+            jbu_apply_mid, _, jbu_coarse_mid, _ = _jbu_operator(
+                image_mid, ccfg_mid, ds // 2, dt, phases_mid, kmat=kmat,
+                want_coarse=(cp > 0))
+            if cp:
+                jbu_coarse = jbu_coarse_mid  # coarse hands off at mid res
     else:
         if ds > 1:
             image_d = resize_bilinear(image[None].astype(jnp.float32), (hd, wd))[0]
@@ -617,37 +677,42 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
     if mixed:
         # full-res mean field: exact separable Gaussian + upsampled bilateral
         log_unary = jnp.log(jnp.maximum(probs, 1e-20))
-        gauss_sigma = ccfg.pos_xy_std
-        deg_g = _gaussian_filter(jnp.ones((1, h, w), jnp.float32), gauss_sigma)[0]
-        inv_sqrt_deg_g = jax.lax.rsqrt(jnp.maximum(deg_g, 1e-20))
 
-        isd = inv_sqrt_deg_g[None].astype(dt)
+        def grid_iter(lu, sigma, apply_bilateral):
+            """One mean-field iteration at lu's grid resolution: exact
+            separable Gaussian (symmetrically normalized) + the given
+            bilateral message operator."""
+            hw_ = lu.shape[-2:]
+            deg_g = _gaussian_filter(jnp.ones((1, *hw_), jnp.float32),
+                                     sigma)[0]
+            isd = jax.lax.rsqrt(jnp.maximum(deg_g, 1e-20))[None].astype(dt)
 
-        def mf_iter(_, q):
-            mg = _gaussian_filter(q * isd, gauss_sigma) * isd
-            if phases:
-                mb = jbu_apply(q)  # normalization folded into the splat weights
-            else:
+            def mf_iter(_, q):
+                mg = _gaussian_filter(q * isd, sigma) * isd
+                mb = apply_bilateral(q)
+                return blockwise_softmax(
+                    lu + ccfg.pos_w * mg.astype(jnp.float32)
+                    + ccfg.bi_w * mb.astype(jnp.float32))
+            return mf_iter
+
+        if phases:
+            bilateral_full = jbu_apply  # normalization in the splat weights
+        else:
+            def bilateral_full(q):
                 # fast (native-dtype, default-precision) resizes: q lives in
                 # [0, 1] and each iteration re-softmaxes from the f32 unary,
                 # so per-iteration rounding cannot accumulate
                 # (docs/CRF_FIDELITY.md)
                 q_coarse = resize_bilinear(q[None], (hd, wd), fast=True)[0]
-                mb = resize_bilinear(bilateral(q_coarse)[None], (h, w),
-                                     fast=True)[0]
-            return blockwise_softmax(log_unary + ccfg.pos_w * mg.astype(jnp.float32)
-                                     + ccfg.bi_w * mb.astype(jnp.float32))
+                return resize_bilinear(bilateral(q_coarse)[None], (h, w),
+                                       fast=True)[0]
 
-        # clamp below at 0: a negative value would unpack absent coarse tools
-        # and run extra full-res iterations
-        cp = (min(max(int(ccfg.coarse_prefix), 0), ccfg.max_iter)
-              if phases else 0)
         if cp:
             # coarse-prefix iterations (CRFConfig.coarse_prefix): state lives
             # on the phase-point set; the unary is the pure-pixel phase
             # samples of the full-res log-unary (strided gather — phases are
             # exact pixel subsets, nothing is averaged)
-            cmsg, slice_full = jbu_coarse
+            cmsg, slice_q = jbu_coarse  # slices to mid res when mp > 0
             cch = log_unary.shape[0]
             lu_c = jnp.concatenate(
                 [log_unary[:, oy::ds, ox::ds].reshape(cch, -1)
@@ -667,16 +732,49 @@ def dense_crf_multi(image: jnp.ndarray, logits_list, ccfg: CRFConfig = CRFConfig
             qc = blockwise_softmax(lu_c)
             for _ in range(cp):
                 qc = cf_iter(qc)
-            # hand-off: color-slice coarse Q to full res, renormalize each
-            # logit set over classes (the slice's per-pixel scale cancels)
-            sliced = jnp.split(slice_full(qc.astype(jnp.float32)), splits, 0)
-            q0 = jnp.concatenate(
+            # hand-off: color-slice coarse Q to the next grid (mid res when
+            # the pyramid schedule is active, else full res), renormalize
+            # each logit set over classes (the slice's per-pixel scale
+            # cancels)
+            sliced = jnp.split(slice_q(qc.astype(jnp.float32)), splits, 0)
+            q = jnp.concatenate(
                 [s / jnp.maximum(s.sum(axis=0, keepdims=True), 1e-20)
                  for s in sliced], axis=0).astype(dt)
         else:
-            q0 = probs.astype(dt)
+            # strided mid start == softmax of the strided log-unary: the
+            # phase pixels are pure samples, nothing is averaged
+            q = (probs[:, ::2, ::2] if mp else probs).astype(dt)
 
-        q = jax.lax.fori_loop(0, ccfg.max_iter - cp, mf_iter, q0)
+        def run_iters(q, n, mf_iter):
+            # UNROLLED python loop up to _MAX_UNROLLED_GRID_ITERS (the
+            # reference's max_iter is 10, so in practice always): measured
+            # on v5e, a rolled fori_loop here costs a large fixed "loop
+            # tax" — the [C, H, W] carried state materializes at every trip
+            # boundary and fusion across iterations is blocked (a cp9
+            # program whose single full-res iteration XLA canonicalizes out
+            # of the 1-trip loop ran 36 ms/batch vs 69 ms for cp8's 2-trip
+            # loop). The coarse prefix was already unrolled for the same
+            # reason plus the composed-eval crash validation.
+            if n <= _MAX_UNROLLED_GRID_ITERS:
+                for i in range(n):
+                    q = mf_iter(i, q)
+                return q
+            return jax.lax.fori_loop(0, n, mf_iter, q)
+
+        if mp:
+            # half-res iterations (CRFConfig.mid_prefix): same mean field at
+            # the strided grid — Gaussian at sigma/2, shared-kernel JBU
+            lu_mid = log_unary[:, ::2, ::2]
+            q = run_iters(q, mp,
+                          grid_iter(lu_mid, ccfg.pos_xy_std / 2,
+                                    jbu_apply_mid))
+            # bilinear taps sum to 1, so per-pixel class sums stay exactly 1
+            q = resize_bilinear(q[None], (h, w), fast=True)[0]
+        fi = ccfg.max_iter - cp - mp
+        if fi:
+            q = run_iters(q, fi,
+                          grid_iter(log_unary, ccfg.pos_xy_std,
+                                    bilateral_full))
         return jnp.split(q.astype(jnp.float32), splits, axis=0)
 
     # legacy: entire mean field at the working resolution

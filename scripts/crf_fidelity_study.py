@@ -192,6 +192,28 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
          CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
                    block=block, dtype="bfloat16", coarse_prefix=5,
                    splat_impl="pool_matmul", kernel_int8=True)),
+        # r5 pyramid-schedule candidates (CRFConfig.mid_prefix): half-res
+        # iterations between the coarse prefix and the full-res tail. The
+        # mid grid strides the SAME pure phase pixels (even offsets at
+        # ds=8), shares the cached kernel, and keeps the sxy=1 Gaussian at
+        # sigma/2 — unlike a longer coarse prefix, which drops it. Promoted
+        # over a cp-only point only if the row holds the >=88% retention bar
+        ("ds=8 jbu4 sf1.8 cp5 m3 bf16 pm-int8",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=5,
+                   mid_prefix=3, splat_impl="pool_matmul", kernel_int8=True)),
+        ("ds=8 jbu4 sf1.8 cp5 m4 bf16 pm-int8",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=5,
+                   mid_prefix=4, splat_impl="pool_matmul", kernel_int8=True)),
+        ("ds=8 jbu4 sf1.8 cp3 m5 bf16 pm-int8",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=3,
+                   mid_prefix=5, splat_impl="pool_matmul", kernel_int8=True)),
+        ("ds=8 jbu4 sf1.8 cp3 m4 bf16 pm-int8",
+         CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                   block=block, dtype="bfloat16", coarse_prefix=3,
+                   mid_prefix=4, splat_impl="pool_matmul", kernel_int8=True)),
     ]
     if only:
         configs = [(n, c) for n, c in configs

@@ -116,7 +116,7 @@ def main(argv=None):
         @jax.jit
         def loop(carry):
             def one(im):
-                _, deg, _ = crf_lib._jbu_operator(im, base, ds, dt_state, phases)
+                _, deg, _, _ = crf_lib._jbu_operator(im, base, ds, dt_state, phases)
                 return deg.sum()
             def body(i, c):
                 s = jax.vmap(one)(img + c * 1e-9).sum()
@@ -130,7 +130,7 @@ def main(argv=None):
         @jax.jit
         def loop(carry):
             def one(im, q):
-                apply_a, _, _ = crf_lib._jbu_operator(im, base, ds, dt_state, phases)
+                apply_a, _, _, _ = crf_lib._jbu_operator(im, base, ds, dt_state, phases)
                 # apply the transfer operator iters times back to back
                 def body(i, qq):
                     return apply_a(qq) + qq * 1e-9

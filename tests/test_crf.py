@@ -189,7 +189,7 @@ def test_jbu_operator_matches_explicit_matrix():
     image = rng.uniform(0, 255, (3, h, w)).astype(np.float32)
     ccfg = CRFConfig(downsample=ds, splat_phases=2, block=8)
     phases = _phase_offsets(2, ds)
-    apply_a, deg, _ = _jbu_operator(jnp.asarray(image), ccfg, ds, jnp.float32,
+    apply_a, deg, _, _ = _jbu_operator(jnp.asarray(image), ccfg, ds, jnp.float32,
                                     phases)
 
     # explicit numpy construction
@@ -425,3 +425,78 @@ def test_negative_coarse_prefix_clamps():
     (q0,) = dense_crf_multi(image, [logits],
                             dataclasses.replace(base, coarse_prefix=0))
     np.testing.assert_allclose(np.asarray(q_neg), np.asarray(q0), atol=1e-6)
+
+
+def test_mid_prefix_pyramid_schedule():
+    """CRFConfig.mid_prefix: coarse -> half-res -> full-res scheduling must
+    (a) stay a valid distribution per logit set at every cp/mp combination
+    (including the all-mid and no-full-tail extremes), (b) agree closely
+    with the all-full-res schedule on easy structure, and (c) give the SAME
+    result whether the mid operator shares the cached kernel or recomputes
+    messages from its own features — the features of the strided half-res
+    grid are identical to the full-res operator's (even phase offsets), so
+    any disagreement would mean the shared kernel is wrong."""
+    import dataclasses
+
+    from depthg_tpu.ops.crf import CRFConfig, dense_crf_multi
+
+    rng = np.random.default_rng(13)
+    image = np.zeros((3, 32, 32), np.float32)
+    image[:, :, :16] = np.array([200.0, 30.0, 40.0])[:, None, None]
+    image[:, :, 16:] = np.array([20.0, 180.0, 220.0])[:, None, None]
+    logits = rng.standard_normal((5, 8, 8)).astype(np.float32) * 0.5
+    logits[0, :, :4] += 2.0
+    logits[1, :, 4:] += 2.0
+    lg2 = rng.standard_normal((3, 8, 8)).astype(np.float32)
+    base = CRFConfig(downsample=8, splat_phases=4, splat_sigma_factor=1.8,
+                     block=64, max_iter=6)
+
+    outs = {}
+    for cp, mp in ((0, 0), (2, 2), (0, 3), (2, 4), (0, 6)):
+        ccfg = dataclasses.replace(base, coarse_prefix=cp, mid_prefix=mp)
+        qa, qb = dense_crf_multi(jnp.asarray(image),
+                                 [jnp.asarray(logits), jnp.asarray(lg2)], ccfg)
+        for q, c in ((qa, 5), (qb, 3)):
+            assert q.shape == (c, 32, 32)
+            assert np.isfinite(np.asarray(q)).all()
+            s = np.asarray(q).sum(0)
+            np.testing.assert_allclose(s, np.ones_like(s), atol=2e-2)
+        outs[(cp, mp)] = np.asarray(qa).argmax(0)
+    assert (outs[(2, 2)] == outs[(0, 0)]).mean() > 0.97
+    assert (outs[(0, 3)] == outs[(0, 0)]).mean() > 0.97
+    assert (outs[(2, 4)] == outs[(0, 0)]).mean() > 0.9
+
+    # (c) shared cached kernel == streaming from the mid grid's own features
+    ccfg_cache = dataclasses.replace(base, coarse_prefix=2, mid_prefix=2)
+    ccfg_stream = dataclasses.replace(ccfg_cache, kernel_cache_mb=0)
+    qa1, _ = dense_crf_multi(jnp.asarray(image),
+                             [jnp.asarray(logits), jnp.asarray(lg2)], ccfg_cache)
+    qa2, _ = dense_crf_multi(jnp.asarray(image),
+                             [jnp.asarray(logits), jnp.asarray(lg2)], ccfg_stream)
+    np.testing.assert_allclose(np.asarray(qa1), np.asarray(qa2),
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_mid_prefix_ignored_when_unrepresentable():
+    """mid_prefix must fall back to full-res iterations (not crash, not
+    change results) when the phase offsets are odd (ds=4: offsets {1, 3})
+    or the JBU path is inactive."""
+    import dataclasses
+
+    from depthg_tpu.ops.crf import CRFConfig, dense_crf_multi
+
+    rng = np.random.default_rng(3)
+    image = jnp.asarray(rng.uniform(0, 255, (3, 32, 32)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((5, 8, 8)).astype(np.float32))
+    # ds=4 P=2 offsets are (1,1),(3,3): odd -> mid grid misses the pixels
+    base = CRFConfig(downsample=4, splat_phases=2, block=64, max_iter=4)
+    (q0,) = dense_crf_multi(image, [logits], base)
+    (q1,) = dense_crf_multi(image, [logits],
+                            dataclasses.replace(base, mid_prefix=2))
+    np.testing.assert_allclose(np.asarray(q0), np.asarray(q1), atol=1e-6)
+
+    # non-JBU (splat_phases=0) path: mid_prefix silently off
+    base2 = CRFConfig(downsample=2, splat_phases=0, block=64, max_iter=3)
+    (q2,) = dense_crf_multi(image, [logits],
+                            dataclasses.replace(base2, mid_prefix=2))
+    assert np.isfinite(np.asarray(q2)).all()
