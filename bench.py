@@ -65,10 +65,10 @@ Precision/operating point of the ``default`` eval path: bf16 backbone
 (tanh-GELU), sequential (unfused) flip-TTA passes, low-resolution probes
 (exact restructuring, EvalConfig.lowres_probes) + the EVAL CLI DEFAULT CRF —
 downsample=8 with 4-phase joint-bilateral splat/slice (widened splat sigma
-1.8), bf16 mean-field state, 5-iteration coarse prefix, pool-matmul
-splat/slice, int8 kernel cache — the point validated in docs/CRF_FIDELITY.md
-(~89% of the permutohedral lattice's mIoU gain on deliberately hard synthetic
-scenes). Built by ``ops.crf.crf_config_from_cfg({})`` — the same constructor
+1.8), bf16 mean-field state, the r5 PYRAMID schedule (5 coarse-point +
+4 half-res + 1 full-res iteration, unrolled), pool-matmul splat/slice, int8
+kernel cache — the point validated in docs/CRF_FIDELITY.md (~89% of the
+permutohedral lattice's mIoU gain on deliberately hard synthetic scenes). Built by ``ops.crf.crf_config_from_cfg({})`` — the same constructor
 ``scripts/eval_segmentation.py`` uses by default: one operating point, one
 story. Probes, softmaxes and the CRF unary stay f32; the bilateral log-kernel
 matmul is pinned to full f32 (see ops/crf.py).

@@ -149,22 +149,19 @@ class CRFConfig:
     # [..., ds] minor axes, the matmul form stays in [H, W] tiles).
     splat_impl: str = "broadcast"
     # batch strategy for the batched wrappers (``dense_crf_batch`` /
-    # ``dense_crf_multi_batch``). "auto" picks by cache state and mesh:
-    # lax.map one image at a time on a single device when the kernel cache
-    # is active (fastest STANDALONE configuration — see _batch_apply's
-    # measurements), vmap otherwise. "vmap" forces whole-batch vmap and is
-    # REQUIRED whenever the CRF shares one XLA program with a large
-    # backbone forward: on v5e the composed program — ViT flip-TTA +
-    # probes + lax.map over the cached-kernel coarse-prefix mean field —
-    # deterministically crashes the TPU worker ("kernel fault"), while the
-    # identical math under vmap runs fine. Bisect matrix
-    # (scripts/bisect_compose.py, r4): composed lax.map FAILS with cache +
-    # coarse_prefix in {1, 3} and remaining full-res iterations, f32/bf16/
+    # ``dense_crf_multi_batch``). "auto" resolves to the vmap family
+    # (whole-batch, cache-sized chunks, or streaming — _batch_apply).
+    # "map" (one image at a time via lax.map) is EXPLICIT OPT-IN only: on
+    # v5e 'kernel fault's make it unusable near this workload — the r4
+    # bisect showed the composed program (ViT flip-TTA + probes + lax.map
+    # over the cached-kernel coarse-prefix mean field) deterministically
+    # crashes the worker (scripts/bisect_compose.py: FAILS with cache +
+    # coarse_prefix in {1, 3} + remaining full-res iterations, f32/bf16/
     # int8 alike; PASSES with cache off, prefix 0, prefix = max_iter, or
-    # vmap batching; the CRF ALONE passes in every configuration.
-    # ``inference.predictions`` resolves "auto" to "vmap" for exactly this
-    # reason. "map" forces the sequential loop (single device only — a
-    # scan's leading axis cannot stay partitioned over a mesh).
+    # vmap), and r5's UNROLLED grid iterations fault under lax.map even
+    # STANDALONE. With the rolled loop (max_iter > _MAX_UNROLLED_GRID_
+    # ITERS) map was the fastest standalone shape on one device; it is a
+    # scan, so it can never span a sharded batch axis.
     batch_strategy: str = "auto"
 
 
@@ -175,7 +172,7 @@ class CRFConfig:
 # parity story tracks whichever point the CLI promotes).
 EVAL_OPERATING_POINTS = {
     # the eval CLI default — whatever crf_config_from_cfg({}) resolves to
-    # (r5: ds=8 jbu4 sf1.8 cp5 pm-int8, ~89% of the lattice gain)
+    # (r5: ds=8 jbu4 sf1.8 cp5 m4 f1 pm-int8, ~89% of the lattice gain)
     "default": {},
     # ~94% of the lattice gain at ~2x the default's cost (ds=4 jbu2 sf1.41)
     "quality_plus": {"crf_downsample": 4},
@@ -199,13 +196,15 @@ def operating_point_overrides(name: str) -> list:
 def crf_config_from_cfg(cfg) -> CRFConfig:
     """CRF operating point from run-config keys. Defaults = the quality/speed
     point validated in docs/CRF_FIDELITY.md (downsample=8 with 4-phase
-    joint-bilateral splat/slice, widened splat sigma, bf16 state, and a
-    3-iteration coarse prefix — retains ~90% of the permutohedral lattice's
-    mIoU gain at ~5 ms/img in-batch): the eval CLI default AND the bench.py
-    headline — one operating point, one story. The quality+ point (94% of
-    the gain, ~2x slower): ``crf_downsample=4`` (its per-downsample defaults
-    follow the table). Faster frontier points below the default:
-    ``crf_coarse_prefix=5`` (89% of the gain) / ``8`` (85%).
+    joint-bilateral splat/slice, widened splat sigma, bf16 state, pyramid
+    schedule cp5 m4 f1 — 5 coarse-point iterations, 4 half-res, 1 full-res
+    — pool-matmul splat/slice + int8 kernel cache; retains ~89% of the
+    permutohedral lattice's mIoU gain): the eval CLI default AND the
+    bench.py headline — one operating point, one story. The quality+ point
+    (94% of the gain, much slower): ``crf_downsample=4`` (its
+    per-downsample defaults follow the table). Quality-leaning:
+    ``crf_coarse_prefix=3`` (cp3 m4 f3, 90%). Below-bar fast point:
+    ``crf_coarse_prefix=8`` (85%).
 
     Phase/sigma defaults track the chosen downsample so an explicit
     ``crf_downsample=2`` keeps its classic (phase-free) cost instead of
@@ -235,12 +234,18 @@ def crf_config_from_cfg(cfg) -> CRFConfig:
         # since r5 (was 3): the cp5 pm-int8 row retains 89% of the lattice
         # gain (vs cp3's 90%) and is the point that clears the >=120 img/s
         # composed-eval bar; crf_coarse_prefix=3 restores the r4 default.
-        coarse_prefix=int(cfg.get("crf_coarse_prefix",
-                                  5 if (ds == 8 and phases == 4) else 0)),
-        # pyramid schedule: half-res iterations between the coarse prefix
-        # and the full-res tail (CRFConfig.mid_prefix); defaults off until
-        # a fidelity row validates a scheduled point
-        mid_prefix=int(cfg.get("crf_mid_prefix", 0)),
+        coarse_prefix=(cp := int(cfg.get("crf_coarse_prefix",
+                                         5 if (ds == 8 and phases == 4)
+                                         else 0))),
+        # pyramid schedule (CRFConfig.mid_prefix): 4 half-res iterations
+        # between the coarse prefix and the full-res tail, defaulted ONLY
+        # at the fidelity-validated points — ds=8/4-phase with cp 5 (the
+        # eval default: cp5 m4 f1, 89% of the lattice gain at ~2/3 the
+        # cp5-only cost) or cp 3 (cp3 m4 f3, 90%). Other schedules are
+        # explicit opt-in (crf_mid_prefix=N).
+        mid_prefix=int(cfg.get("crf_mid_prefix",
+                               4 if (ds == 8 and phases == 4
+                                     and cp in (3, 5)) else 0)),
     )
 
 
@@ -837,17 +842,17 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
     """Pick the batch strategy around per-image kernel caching.
 
     * no kernel cache (streaming tiles) -> vmap;
-    * cache active, strategy "map" (or "auto" on a single device) ->
-      lax.map one image per step (the fastest STANDALONE configuration,
-      not just a memory fallback — see the inline measurements). NEVER
-      valid composed with a backbone in one program: see
-      ``CRFConfig.batch_strategy`` for the v5e worker-crash bisection.
-    * cache active, strategy "vmap" (or "auto" on a sharded mesh) -> vmap
-      if the per-device kernels fit the budget, else DISABLE the cache and
-      vmap the streaming path. A lax.map over a sharded batch axis would
-      be wrong regardless: a scan's leading axis cannot stay partitioned,
-      so GSPMD would gather every shard to every device and serialize the
-      whole batch — n_devices x the work of streaming in parallel.
+    * cache active, EXPLICIT strategy "map" -> lax.map one image per step
+      (opt-in only since r5 — the shape faults the v5e worker composed
+      with a backbone AND standalone with unrolled grid iterations: see
+      ``CRFConfig.batch_strategy``);
+    * cache active, strategy "vmap"/"auto" -> vmap if the per-device
+      kernels fit the budget, else cache-sized chunked vmap groups, else
+      DISABLE the cache and vmap the streaming path. A lax.map over a
+      sharded batch axis would be wrong regardless: a scan's leading axis
+      cannot stay partitioned, so GSPMD would gather every shard to every
+      device and serialize the whole batch — n_devices x the work of
+      streaming in parallel.
 
     ``make_fn``: ccfg -> (image, *logits) -> result, so the strategy can
     rebuild the per-image closure with caching disabled.
@@ -868,14 +873,15 @@ def _batch_apply(make_fn, images, ccfg: CRFConfig, n_shards: int, *batched_args)
     if strategy == "map" and n_shards > 1:
         strategy = "vmap"  # a scan's leading axis cannot stay partitioned
     if per_img is not None:
-        if strategy == "map" or (strategy == "auto" and n_shards <= 1):
-            # one image at a time is FASTEST on one device whenever the
-            # kernel cache is active, not just a memory fallback: a single
-            # image's [N, N] kernel matmuls already saturate the chip and
-            # the small resident working set wins (measured v5e, ds=4
-            # batch 16: sequential 182 img/s vs 16-wide vmap 141; chunked
-            # vmap groups of 4/8/16 all land ~130-134 at batch 64 vs 161
-            # sequential). Memory stays one kernel regardless of batch.
+        if strategy == "map":
+            # EXPLICIT opt-in only (was also "auto" on one device until r5:
+            # with the rolled mean-field loop, one image at a time measured
+            # fastest standalone — ds=4 batch 16: 182 img/s vs 141 vmapped.
+            # The r5 UNROLLED grid iterations fault the v5e worker under
+            # lax.map even standalone — extending the r4 composed-only
+            # bisect — so "auto" now resolves to the vmap family
+            # everywhere, and this branch remains for single-image-memory
+            # callers on stacks where the map shape is healthy).
             fn = make_fn(ccfg)
             return jax.lax.map(lambda args: fn(*args),
                                (images, *batched_args))

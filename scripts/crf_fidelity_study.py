@@ -263,9 +263,15 @@ def run_study(size=320, n_images=6, n_classes=27, seed=0, block=1024,
     lgs = jnp.asarray(np.stack([s[2] for s in scenes]))
 
     for name, ccfg in configs:
-        # ONE dispatch refines the whole batch, like the fused eval step
-        # (ops.crf._batch_apply picks lax.map/vmap); argmax on device so the
-        # timing run never fetches the [B, C, H, W] field
+        # ONE dispatch refines the whole batch with the SAME batch strategy
+        # the eval CLI pays: vmap (everything reachable from eval is
+        # vmap-family — docs/PERFORMANCE.md "lax.map worker fault"; r5: a
+        # lax.map over the new UNROLLED grid iterations faults the v5e
+        # worker even standalone, extending the r4 composed-only finding).
+        # argmax on device so the timing run never fetches [B, C, H, W]
+        import dataclasses as _dc
+
+        ccfg = _dc.replace(ccfg, batch_strategy="vmap")
         fn = jax.jit(lambda im, lg, cc=ccfg: jnp.argmax(
             dense_crf_batch(im, lg, cc), axis=1))
         pred_d = jax.block_until_ready(fn(imgs, lgs))

@@ -85,10 +85,13 @@ def test_crf_downsample_close_to_exact():
     assert agree > 0.95
 
 
-def test_batch_strategy_sharded_disables_cache_not_map(monkeypatch):
-    """A sharded batch must NEVER take the lax.map path (it would serialize
-    the mesh); when per-device kernels exceed the budget the cache is
-    dropped and the streaming path is vmapped — numerically identical."""
+def test_batch_strategy_auto_never_maps(monkeypatch):
+    """"auto" must resolve to the vmap family everywhere (r5: lax.map
+    faults the v5e worker composed with a backbone AND standalone with
+    unrolled grid iterations) — sharded or not; explicit "map" remains an
+    opt-in that does take the sequential path."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -113,20 +116,29 @@ def test_batch_strategy_sharded_disables_cache_not_map(monkeypatch):
 
     monkeypatch.setattr(jax.lax, "map", counting_map)
 
-    # unsharded: lax.map is the right fallback
+    # unsharded auto over budget: streaming vmap, never lax.map
     out_seq = np.asarray(crf_mod.dense_crf_batch(images, logits, ccfg))
-    assert calls["map"] == 1
+    assert calls["map"] == 0
     # cached-kernel vs streaming differ only in reduction order, which the
     # 3-iteration mean field amplifies slightly — labels must match
     np.testing.assert_allclose(out_seq, ref, atol=5e-3)
     assert (out_seq.argmax(1) == ref.argmax(1)).mean() > 0.999
 
-    # sharded: must vmap the streaming (cache-off) path instead
+    # sharded: same — vmap the streaming (cache-off) path
     out_shard = np.asarray(crf_mod.dense_crf_batch(images, logits, ccfg,
                                                    n_shards=4))
-    assert calls["map"] == 1  # unchanged — no lax.map for the sharded case
+    assert calls["map"] == 0
     np.testing.assert_allclose(out_shard, ref, atol=5e-3)
     assert (out_shard.argmax(1) == ref.argmax(1)).mean() > 0.999
+
+    # explicit "map" opt-in still takes the sequential path (restore the
+    # budget so the cache is active — the map branch is cache-gated)
+    monkeypatch.setattr(crf_mod, "_VMAP_KERNEL_BUDGET_BYTES",
+                        int(1.5 * 2**30))
+    out_map = np.asarray(crf_mod.dense_crf_batch(
+        images, logits, dataclasses.replace(ccfg, batch_strategy="map")))
+    assert calls["map"] == 1
+    np.testing.assert_allclose(out_map, ref, atol=5e-3)
 
 
 def test_batch_strategy_vmap_chunks_before_dropping_cache(monkeypatch):
